@@ -1,0 +1,57 @@
+"""aligner-tpu — a TPU-native pairwise sequence-alignment framework.
+
+A from-scratch reimplementation of the capabilities of ikramanop/aligner
+(global/local DP alignment, PWM alignment, heuristic matrix-free alignment,
+Karlin-Altschul statistics, latent-repeat search and a distributed
+alignment service), designed for TPUs: batched Pallas DP kernels with
+problems in VPU lanes, JAX/XLA host orchestration, and device-mesh scaling
+via shard_map collectives.
+"""
+
+from .alphabet import DNA, Index, Protein, index_coord, rotate_indices
+from .errors import (
+    AlignerError,
+    CalculationError,
+    CharIsNotMatchable,
+    MatrixShapeError,
+    MissingArgument,
+    ResultIsEmpty,
+    UnnecessaryArgument,
+    ValidationError,
+    WrongMatrixSpecified,
+)
+from .matrices import (
+    blosum50,
+    blosum62,
+    get_threshold,
+    random_pwm,
+    transform_matrix,
+)
+from .result import Alignment, AlignmentResult, PWMAlignment
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DNA",
+    "Protein",
+    "Index",
+    "index_coord",
+    "rotate_indices",
+    "blosum50",
+    "blosum62",
+    "get_threshold",
+    "random_pwm",
+    "transform_matrix",
+    "Alignment",
+    "PWMAlignment",
+    "AlignmentResult",
+    "AlignerError",
+    "CharIsNotMatchable",
+    "UnnecessaryArgument",
+    "MissingArgument",
+    "ResultIsEmpty",
+    "CalculationError",
+    "ValidationError",
+    "MatrixShapeError",
+    "WrongMatrixSpecified",
+]
