@@ -1,0 +1,390 @@
+"""Public alignment API.
+
+Functional entry points (``align_global``, ``align_local``, ``align_pwm``,
+``batch_align``, ``batch_align_pwm``) plus class wrappers mirroring the
+reference's ``AlignerTrait`` surface (``SimpleGlobalAligner``,
+``SimpleLocalAligner``, ``PWMAligner`` — aligner-core/src/lib.rs:27-40,
+simple/mod.rs, pwm/mod.rs).
+
+Backends: ``oracle`` (scalar NumPy f64), ``xla`` (batched lax.scan), and
+``pallas`` (TPU kernel).  ``backend=None`` picks pallas on TPU, xla
+elsewhere.  All backends implement the exact reference semantics; f32 is
+bit-exact for integer-valued matrices (every score is a small sum of
+matrix entries), while heuristic-transformed matrices may differ from the
+f64 oracle in ties — use ``dtype=jnp.float64`` on CPU for strict parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from . import oracle
+from .alphabet import DNA, Alphabet, Protein
+from .backend import default_dtype, pick_backend
+from .errors import MatrixShapeError, ResultIsEmpty, UnnecessaryArgument, ValidationError
+from .result import Alignment, AlignmentResult, PWMAlignment
+from .traceback import traceback_global, traceback_local, traceback_pwm
+
+
+def _encode(seq, alphabet: type[Alphabet]) -> np.ndarray:
+    if isinstance(seq, (str, bytes)):
+        return alphabet.encode(seq)
+    return np.asarray(seq, dtype=np.int8)
+
+
+def pad_batch(
+    seqs: Sequence[np.ndarray], multiple: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Right-pad code arrays to a shared length (rounded up to ``multiple``
+    to bound the number of distinct compiled shapes)."""
+    if not seqs:
+        raise ValidationError("empty batch")
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    width = max(int(lens.max()), 1)
+    width = -(-width // multiple) * multiple
+    out = np.zeros((len(seqs), width), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+    return out, lens
+
+
+def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype):
+    import jax.numpy as jnp
+
+    if backend == "pallas":
+        from .ops.pallas_dp import fill_batch_pallas
+
+        return fill_batch_pallas(
+            q, ql, t, tl, matrix, del_, ext, mode=mode,
+            with_planes=with_planes, dtype=dtype,
+        )
+    from .ops.scan_engine import fill_batch
+
+    return fill_batch(
+        q, ql, t, tl, jnp.asarray(matrix, dtype), del_, ext,
+        mode=mode, with_planes=with_planes, dtype=dtype,
+    )
+
+
+def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype):
+    import jax.numpy as jnp
+
+    if backend == "pallas":
+        from .ops.pallas_dp import fill_pwm_batch_pallas
+
+        return fill_pwm_batch_pallas(
+            q, ql, pwm, del_, ext, with_planes=with_planes, dtype=dtype
+        )
+    from .ops.scan_engine import fill_pwm_batch
+
+    return fill_pwm_batch(
+        q, ql, jnp.asarray(pwm, dtype), del_, ext,
+        with_planes=with_planes, dtype=dtype,
+    )
+
+
+@dataclasses.dataclass
+class BatchScores:
+    """Scores-only batched result (no planes, no traceback).
+
+    ``fmax``: local max score per problem; ``fy``/``fx``: its plane coords
+    (first maximum in row-major order); ``end``: a[tlen, qlen].
+    """
+
+    fmax: np.ndarray
+    fy: np.ndarray
+    fx: np.ndarray
+    end: np.ndarray
+
+
+def align_global(
+    query,
+    target,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+    dtype=None,
+    keep_planes: bool = False,
+) -> AlignmentResult:
+    """Global (NW-style) alignment of one pair (simple/mod.rs:42-144)."""
+    q = _encode(query, alphabet)
+    t = _encode(target, alphabet)
+    if len(q) == 0 or len(t) == 0:
+        raise ResultIsEmpty("empty sequence")
+    backend = pick_backend(backend)
+    if backend == "oracle":
+        r = oracle.align_global(q, t, np.asarray(matrix), del_, ext)
+        aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)
+        return AlignmentResult(
+            aln,
+            score=r.score if keep_planes else None,
+            directions=r.directions if keep_planes else None,
+        )
+    dtype = dtype or default_dtype()
+    res = _fill(
+        q[None].astype(np.int32), np.array([len(q)]),
+        t[None].astype(np.int32), np.array([len(t)]),
+        matrix, del_, ext, "global", True, backend, dtype,
+    )
+    dirs = np.asarray(res.dirs[0])
+    qa, ta, coords = traceback_global(dirs[: len(t) + 1, : len(q) + 1], q, t)
+    aln = Alignment(qa, ta, coords, 0.0, alphabet)
+    return AlignmentResult(
+        aln,
+        score=np.asarray(res.plane[0])[: len(t) + 1, : len(q) + 1]
+        if keep_planes
+        else None,
+        directions=dirs[: len(t) + 1, : len(q) + 1] if keep_planes else None,
+    )
+
+
+def align_local(
+    query,
+    target,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+    dtype=None,
+    keep_planes: bool = False,
+) -> AlignmentResult:
+    """Local (SW-style) alignment of one pair (simple/mod.rs:147-264)."""
+    q = _encode(query, alphabet)
+    t = _encode(target, alphabet)
+    if len(q) == 0 or len(t) == 0:
+        raise ResultIsEmpty("empty sequence")
+    backend = pick_backend(backend)
+    if backend == "oracle":
+        r = oracle.align_local(q, t, np.asarray(matrix), del_, ext)
+        aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)
+        return AlignmentResult(
+            aln,
+            score=r.score if keep_planes else None,
+            directions=r.directions if keep_planes else None,
+        )
+    dtype = dtype or default_dtype()
+    res = _fill(
+        q[None].astype(np.int32), np.array([len(q)]),
+        t[None].astype(np.int32), np.array([len(t)]),
+        matrix, del_, ext, "local", True, backend, dtype,
+    )
+    dirs = np.asarray(res.dirs[0])
+    my, mx = int(res.fy[0]), int(res.fx[0])
+    qa, ta, coords = traceback_local(dirs, my, mx, q, t)
+    aln = Alignment(qa, ta, coords, float(res.fmax[0]), alphabet)
+    return AlignmentResult(
+        aln,
+        score=np.asarray(res.plane[0])[: len(t) + 1, : len(q) + 1]
+        if keep_planes
+        else None,
+        directions=dirs[: len(t) + 1, : len(q) + 1] if keep_planes else None,
+    )
+
+
+def align_pwm(
+    query,
+    pwm: np.ndarray,
+    del_: float,
+    ext: float,
+    *,
+    alphabet: type[Alphabet] = DNA,
+    backend: str | None = None,
+    dtype=None,
+) -> AlignmentResult:
+    """Query-vs-PWM local alignment (pwm/mod.rs:29-126)."""
+    pwm = np.asarray(pwm)
+    if pwm.shape[0] != 4:
+        raise MatrixShapeError(f"PWM must have 4 rows, got {pwm.shape[0]}")
+    q = _encode(query, alphabet)
+    backend = pick_backend(backend)
+    if backend == "oracle":
+        r = oracle.align_pwm(q, pwm, del_, ext)
+        aln = PWMAlignment(
+            r.target_aligned.astype(np.int32), r.query_aligned,
+            pwm.shape[1], r.coords, r.f, alphabet,
+        )
+        return AlignmentResult(aln)
+    dtype = dtype or default_dtype()
+    res = _fill_pwm(
+        q[None].astype(np.int32), np.array([len(q)]), pwm, del_, ext,
+        True, backend, dtype,
+    )
+    dirs = np.asarray(res.dirs[0])
+    my, mx = int(res.fy[0]), int(res.fx[0])
+    qa, numbered, coords = traceback_pwm(dirs, my, mx, q)
+    aln = PWMAlignment(numbered, qa, pwm.shape[1], coords, float(res.fmax[0]), alphabet)
+    return AlignmentResult(aln)
+
+
+def batch_align(
+    queries: Sequence,
+    targets: Sequence,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    mode: str = "local",
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+    dtype=None,
+    with_alignments: bool = False,
+):
+    """Batched alignment of N independent (query, target) pairs.
+
+    ``matrix`` may be one (V, V) matrix shared by the batch or (B, V, V)
+    per-problem matrices.  Without ``with_alignments`` this is scores-only
+    (no direction planes leave the device) and returns :class:`BatchScores`;
+    with it, a list of :class:`AlignmentResult` (the TPU-native equivalent
+    of the reference's thread fan-outs, statistics/mod.rs:253-291).
+    """
+    qs = [_encode(s, alphabet) for s in queries]
+    ts = [_encode(s, alphabet) for s in targets]
+    if len(qs) != len(ts):
+        raise ValidationError("queries and targets must have the same length")
+    q, ql = pad_batch(qs)
+    t, tl = pad_batch(ts)
+    backend = pick_backend(backend)
+    if backend == "oracle":
+        backend = "xla"  # the batch path is device-only; oracle covers singles
+    dtype = dtype or default_dtype()
+    res = _fill(q, ql, t, tl, matrix, del_, ext, mode, with_alignments, backend, dtype)
+    if not with_alignments:
+        return BatchScores(
+            fmax=np.asarray(res.fmax), fy=np.asarray(res.fy),
+            fx=np.asarray(res.fx), end=np.asarray(res.end),
+        )
+    dirs = np.asarray(res.dirs)
+    out = []
+    for b in range(len(qs)):
+        d = dirs[b, : tl[b] + 1, : ql[b] + 1]
+        if mode == "global":
+            qa, ta, coords = traceback_global(d, qs[b], ts[b])
+            f = 0.0
+        else:
+            qa, ta, coords = traceback_local(
+                d, int(res.fy[b]), int(res.fx[b]), qs[b], ts[b]
+            )
+            f = float(res.fmax[b])
+        out.append(AlignmentResult(Alignment(qa, ta, coords, f, alphabet)))
+    return out
+
+
+def batch_align_pwm(
+    queries: Sequence,
+    pwm: np.ndarray,
+    del_: float,
+    ext: float,
+    *,
+    alphabet: type[Alphabet] = DNA,
+    backend: str | None = None,
+    dtype=None,
+    with_alignments: bool = False,
+):
+    """Batched query-vs-PWM alignment (one PWM shared or (B, 4, W) batched).
+
+    This is the window-scan primitive of the latent-repeat search
+    (engine/calc.rs:45-75): all windows become one launch.
+    """
+    pwm = np.asarray(pwm)
+    if pwm.shape[-2] != 4:
+        raise MatrixShapeError(f"PWM must have 4 rows, got {pwm.shape[-2]}")
+    qs = [_encode(s, alphabet) for s in queries]
+    q, ql = pad_batch(qs)
+    backend = pick_backend(backend)
+    if backend == "oracle":
+        backend = "xla"
+    dtype = dtype or default_dtype()
+    res = _fill_pwm(q, ql, pwm, del_, ext, with_alignments, backend, dtype)
+    if not with_alignments:
+        return BatchScores(
+            fmax=np.asarray(res.fmax), fy=np.asarray(res.fy),
+            fx=np.asarray(res.fx), end=np.asarray(res.end),
+        )
+    dirs = np.asarray(res.dirs)
+    width = pwm.shape[-1]
+    out = []
+    for b in range(len(qs)):
+        d = dirs[b, : ql[b] + 1, : width + 1]
+        qa, numbered, coords = traceback_pwm(d, int(res.fy[b]), int(res.fx[b]), qs[b])
+        out.append(
+            AlignmentResult(
+                PWMAlignment(numbered, qa, width, coords, float(res.fmax[b]), alphabet)
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Class wrappers mirroring the reference's AlignerTrait (lib.rs:27-40).
+# ---------------------------------------------------------------------------
+
+
+class _SimpleAligner:
+    _mode: str
+
+    def __init__(self, query: np.ndarray, target: np.ndarray, alphabet):
+        self.query = query
+        self.target = target
+        self.alphabet = alphabet
+
+    @classmethod
+    def from_str_seqs(cls, query: str, target: str, alphabet=Protein):
+        return cls(alphabet.encode(query, strict=True), alphabet.encode(target, strict=True), alphabet)
+
+    @classmethod
+    def from_seqs(cls, query, target, alphabet=Protein):
+        return cls(_encode(query, alphabet), _encode(target, alphabet), alphabet)
+
+    def perform_alignment(
+        self, del_: float, ext: float, matrix, heuristics=None, **kw
+    ) -> AlignmentResult:
+        if heuristics is not None:
+            raise UnnecessaryArgument(
+                "simple aligners take no heuristics (lib.rs Error::UnnecessaryArgument)"
+            )
+        fn = align_global if self._mode == "global" else align_local
+        kw.setdefault("keep_planes", True)
+        return fn(self.query, self.target, matrix, del_, ext, alphabet=self.alphabet, **kw)
+
+
+class SimpleGlobalAligner(_SimpleAligner):
+    """Equivalent of aligner-core SimpleGlobalAligner (simple/mod.rs:9-145)."""
+
+    _mode = "global"
+
+
+class SimpleLocalAligner(_SimpleAligner):
+    """Equivalent of aligner-core SimpleLocalAligner (simple/mod.rs:147-265)."""
+
+    _mode = "local"
+
+
+class PWMAligner:
+    """Equivalent of aligner-core PWMAligner (pwm/mod.rs)."""
+
+    def __init__(self, query: np.ndarray, alphabet=DNA):
+        self.query = query
+        self.alphabet = alphabet
+
+    @classmethod
+    def from_str_seqs(cls, query: str, alphabet=DNA):
+        return cls(alphabet.encode(query), alphabet)
+
+    @classmethod
+    def from_seqs(cls, query, alphabet=DNA):
+        return cls(_encode(query, alphabet), alphabet)
+
+    def perform_alignment(
+        self, del_: float, ext: float, pwm, heuristics=None, **kw
+    ) -> AlignmentResult:
+        if heuristics is not None:
+            raise UnnecessaryArgument("PWM aligner takes no heuristics")
+        return align_pwm(self.query, pwm, del_, ext, alphabet=self.alphabet, **kw)
