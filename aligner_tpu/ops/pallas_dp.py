@@ -1,0 +1,488 @@
+"""Pallas TPU kernel for the batched exact DP fill.
+
+Design (see ops/scan_engine.py for why the batch is the parallel axis):
+
+* One DP problem per (sublane, lane) slot: a kernel tile processes
+  ``BT = BS*128`` problems at once; every per-cell op is a full
+  ``(BS, 128)`` vector op on the VPU.
+* Grid = (batch_tiles, columns).  Each grid step fills one DP column for
+  the whole tile, in the reference's column-major fill order, carrying the
+  single mutable gap-penalty state across cells and columns
+  (simple/mod.rs:72,88-92).  The column buffer lives in VMEM scratch and
+  is updated in place (each cell reads the previous column's value before
+  overwriting it, carrying it as the next cell's diagonal) and persists
+  across grid steps; direction/score planes stream out to HBM through the
+  pallas output pipeline (one block per column).
+* Score lookup is a two-stage one-hot expansion: per column, a
+  ``lut[v] = matrix[v, q[x]]`` table (V² scalar·vector madds, amortized
+  over R rows), then a vectorized ``s = Σ_v lut[v]·(t == v)`` over the
+  whole column (V madds per cell).  For DNA/PWM (V=4) this is ~8 VPU ops
+  per cell; for protein (V=24) ~48.
+* ``scores_only`` mode tracks the running first-in-row-major argmax
+  (value desc, y asc, x asc) and ``a[tlen, qlen]`` in registers and writes
+  nothing else — the p-value and window-scan paths never touch HBM planes.
+
+Semantics are bit-identical to the scalar oracle (tests fuzz both modes in
+interpret mode and on hardware); f32 is exact for integer-valued matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..backend import on_tpu
+from .scan_engine import BEG, DIAG, LEFT, TOP, FillResult
+
+LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(
+    refs,
+    *,
+    C: int,
+    R: int,
+    V: int,
+    BS: int,
+    mode: str,
+    batched_mat: bool,
+    with_planes: bool,
+    del_: float,
+    ext: float,
+    dtype,
+):
+    if mode == "pwm":
+        (t_ref, tlen_ref, mat_ref) = refs[:3]
+        refs = refs[3:]
+        q_ref = qlen_ref = None
+    else:
+        (q_ref, t_ref, qlen_ref, tlen_ref, mat_ref) = refs[:5]
+        refs = refs[5:]
+    fmax_ref, fy_ref, fx_ref, end_ref = refs[:4]
+    refs = refs[4:]
+    if with_planes:
+        dirs_ref, plane_ref = refs[:2]
+        refs = refs[2:]
+    colbuf_ref, scol_ref, penb_ref = refs
+
+    x = pl.program_id(1)
+    x1 = x + 1
+    is_global = mode == "global"
+    DEL = jnp.asarray(del_, dtype)
+    EXT = jnp.asarray(ext, dtype)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    zero = jnp.zeros((BS, LANES), dtype)
+
+    tlen = tlen_ref[0]  # (BS, 128) i32
+    if mode == "pwm":
+        qlen = jnp.full((BS, LANES), C, jnp.int32)
+    else:
+        qlen = qlen_ref[0]
+
+    @pl.when(x == 0)
+    def _init():
+        if is_global:
+            yy = lax.broadcasted_iota(jnp.int32, (R + 1, BS, LANES), 0)
+            tl3 = tlen[None].astype(dtype)
+            yyf = yy.astype(dtype)
+            colbuf_ref[:] = jnp.where(
+                yy == tlen[None], -(tl3 + 1) * DEL, -yyf * DEL
+            )
+        else:
+            colbuf_ref[:] = jnp.zeros((R + 1, BS, LANES), dtype)
+        penb_ref[:] = jnp.full((BS, LANES), DEL)
+        fmax_ref[0] = zero
+        fy_ref[0] = jnp.zeros((BS, LANES), jnp.int32)
+        fx_ref[0] = jnp.zeros((BS, LANES), jnp.int32)
+        end_ref[0] = zero
+
+    # --- border value a[0, x1] of this column (simple/mod.rs:59-70) ---
+    if is_global:
+        qlf = qlen.astype(dtype)
+        border0 = jnp.where(
+            x1 == qlen, -(qlf + 1) * DEL, -jnp.asarray(x1, dtype) * DEL
+        )
+    else:
+        border0 = zero
+
+    # --- score column: s[y] = matrix[t[y], q[x]] (or pwm[t[y], x]) ---
+    tall = t_ref[:]  # (R, BS, 128) i32
+    if mode == "pwm":
+        if batched_mat:
+            luts = [mat_ref[v * C + x] for v in range(V)]
+        else:
+            luts = [mat_ref[v, x] for v in range(V)]
+    else:
+        qx = q_ref[0]  # (BS, 128) i32
+        ohs = [(qx == j).astype(dtype) for j in range(V)]
+        if batched_mat:
+            luts = [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [mat_ref[v * V + j] * ohs[j] for j in range(V)],
+                )
+                for v in range(V)
+            ]
+        else:
+            luts = [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [mat_ref[v, j] * ohs[j] for j in range(V)],
+                )
+                for v in range(V)
+            ]
+    # accumulate in place so at most two (R, BS, 128) temporaries are live
+    # (a single reduce expression overflows scoped VMEM for V=24)
+    for v in range(V):
+        term = jnp.broadcast_to(
+            jnp.asarray(luts[v], dtype), (R, BS, LANES)
+        ) * (tall == v).astype(dtype)
+        if v == 0:
+            scol_ref[:] = term
+        else:
+            scol_ref[:] = scol_ref[:] + term
+
+    # the column buffer is updated in place: each cell reads the previous
+    # column's value before overwriting it and carries it as the next
+    # cell's diagonal
+    active_x = x1 <= qlen
+
+    pen0 = penb_ref[:]
+    diag0 = colbuf_ref[0]
+    colbuf_ref[0] = border0
+    best0 = (fmax_ref[0], fy_ref[0], fx_ref[0])
+    end0 = end_ref[0]
+
+    def body(y1, carry):
+        a_up, pen, diag_prev, bv, by, bx, ev = carry
+        left_v = colbuf_ref[y1]
+        s = scol_ref[y1 - 1]
+        top = a_up - pen
+        left = left_v - pen
+        diag = diag_prev + s
+        m = jnp.maximum(jnp.maximum(top, left), diag)
+        d = jnp.where(
+            m - top < eps,
+            jnp.int32(TOP),
+            jnp.where(m - left < eps, jnp.int32(LEFT), jnp.int32(DIAG)),
+        )
+        if not is_global:
+            d = jnp.where(m == 0, jnp.int32(BEG), d)
+        active = active_x & (y1 <= tlen)
+        pen = jnp.where(active, jnp.where(d == BEG, DEL, EXT), pen)
+        val = jnp.where(active, m, zero)
+        dc = jnp.where(active, d, jnp.int32(BEG))
+        colbuf_ref[y1] = val
+        if with_planes:
+            dirs_ref[0, y1 - 1] = dc
+            plane_ref[0, y1 - 1] = val
+        better = active & (
+            (m > bv) | ((m == bv) & ((y1 < by) | ((y1 == by) & (x1 < bx))))
+        )
+        bv = jnp.where(better, m, bv)
+        by = jnp.where(better, y1, by)
+        bx = jnp.where(better, x1, bx)
+        ev = jnp.where(active & (y1 == tlen) & (x1 == qlen), m, ev)
+        return (val, pen, left_v, bv, by, bx, ev)
+
+    (_, pen, _, bv, by, bx, ev) = lax.fori_loop(
+        1, R + 1, body, (border0, pen0, diag0, *best0, end0)
+    )
+    penb_ref[:] = pen
+    fmax_ref[0] = bv
+    fy_ref[0] = by
+    fx_ref[0] = bx
+    end_ref[0] = ev
+
+
+def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool) -> int:
+    """Largest BS (sublane groups per tile) whose VMEM footprint fits."""
+    budget = 11 * 1024 * 1024
+    for bs in (32, 16, 8, 4, 2, 1):
+        rows = (R + 1) + R + 2  # colbuf + scol + pen/tracking
+        rows += R  # t codes
+        if batched_mat:
+            rows += V * V
+        if with_planes:
+            rows += 4 * R * 2  # dirs+plane i32/f32 blocks, double-buffered
+        if rows * bs * LANES * 4 <= budget:
+            return bs
+    return 1
+
+
+def _to_tiles(a: np.ndarray, NB: int, BS: int, inner: tuple[int, ...]):
+    """(B, *inner) → (NB, BS, 128, *inner) problem-tile layout, flattened
+    so that problem b sits at (b//BT, (b%BT)//128, b%128)."""
+    B = a.shape[0]
+    pad = NB * BS * LANES - B
+    if pad:
+        a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)], 0)
+    return a.reshape(NB, BS, LANES, *inner)
+
+
+def _seq_operand(a4):
+    # (NB, BS, 128, L) → (NB*L, BS, 128) so each column is one block row
+    NB, BS, _, L = a4.shape
+    return jnp.transpose(jnp.asarray(a4), (0, 3, 1, 2)).reshape(NB * L, BS, LANES)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "with_planes", "dtype", "interpret", "del_", "ext"),
+)
+def _run(
+    q4,  # (NB*C, BS, 128) i32 or None-like placeholder
+    t4,  # (NB*R, BS, 128) i32
+    qlen4,  # (NB, BS, 128) i32
+    tlen4,  # (NB, BS, 128) i32
+    mat,  # (V, V) | (NB*V*V, BS, 128) | (V, W) | (NB*V*W, BS, 128)
+    del_,
+    ext,
+    *,
+    mode: str,
+    with_planes: bool,
+    dtype,
+    interpret: bool,
+):
+    BS = t4.shape[1]
+    NB = tlen4.shape[0]
+    R = t4.shape[0] // NB
+    batched_mat = mat.ndim == 3
+    if mode == "pwm":
+        V = 4
+        C = (mat.shape[0] // (NB * V)) if batched_mat else mat.shape[1]
+    else:
+        V = mat.shape[-1] if not batched_mat else int(round(np.sqrt(mat.shape[0] // NB)))
+        C = q4.shape[0] // NB
+
+    grid = (NB, C)
+    in_specs = []
+    operands = []
+    if mode != "pwm":
+        in_specs.append(
+            pl.BlockSpec((1, BS, LANES), lambda i, x: (i * C + x, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(q4)
+    in_specs.append(
+        pl.BlockSpec((R, BS, LANES), lambda i, x: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(t4)
+    if mode != "pwm":
+        in_specs.append(
+            pl.BlockSpec((1, BS, LANES), lambda i, x: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(qlen4)
+    in_specs.append(
+        pl.BlockSpec((1, BS, LANES), lambda i, x: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(tlen4)
+    if batched_mat:
+        VV = mat.shape[0] // NB
+        in_specs.append(
+            pl.BlockSpec((VV, BS, LANES), lambda i, x: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    operands.append(mat)
+
+    small = lambda: pl.BlockSpec(  # noqa: E731
+        (1, BS, LANES), lambda i, x: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((NB, BS, LANES), dtype),  # fmax
+        jax.ShapeDtypeStruct((NB, BS, LANES), jnp.int32),  # fy
+        jax.ShapeDtypeStruct((NB, BS, LANES), jnp.int32),  # fx
+        jax.ShapeDtypeStruct((NB, BS, LANES), dtype),  # end
+    ]
+    out_specs = [small(), small(), small(), small()]
+    if with_planes:
+        out_shapes += [
+            jax.ShapeDtypeStruct((NB * C, R, BS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NB * C, R, BS, LANES), dtype),
+        ]
+        plane_spec = lambda: pl.BlockSpec(  # noqa: E731
+            (1, R, BS, LANES), lambda i, x: (i * C + x, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs += [plane_spec(), plane_spec()]
+
+    scratch = [
+        pltpu.VMEM((R + 1, BS, LANES), dtype),  # colbuf (in-place)
+        pltpu.VMEM((R, BS, LANES), dtype),  # scol
+        pltpu.VMEM((BS, LANES), dtype),  # pen
+    ]
+
+    kernel = functools.partial(
+        _wrapped_kernel,
+        C=C, R=R, V=V, BS=BS, mode=mode, batched_mat=batched_mat,
+        with_planes=with_planes, del_=float(del_), ext=float(ext), dtype=dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(*operands)
+
+
+def _wrapped_kernel(*refs, **kw):
+    _kernel(refs, **kw)
+
+
+def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, del_, dtype):
+    """(NB*C, R, BS, 128) streams → (B, R+1, C+1) plane/dirs with borders,
+    matching the scan engine's assembly."""
+    v = jnp.asarray(interior_vals).reshape(NB, C, R, BS, LANES)
+    d = jnp.asarray(interior_dirs).reshape(NB, C, R, BS, LANES)
+    # → (B, R, C)
+    v = jnp.transpose(v, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)[:B]
+    d = jnp.transpose(d, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)[:B]
+    ys = jnp.arange(1, R + 1, dtype=jnp.int32)
+    xs = jnp.arange(1, C + 1, dtype=jnp.int32)
+    plane = jnp.zeros((B, R + 1, C + 1), dtype)
+    dirs = jnp.full((B, R + 1, C + 1), jnp.uint8(BEG))
+    if mode == "global":
+        qlf = qlen.astype(dtype)[:, None]
+        tlf = tlen.astype(dtype)[:, None]
+        row0 = jnp.where(
+            xs[None, :] == qlen[:, None],
+            -(qlf + 1) * del_,
+            -xs[None, :].astype(dtype) * del_,
+        )
+        col0 = jnp.where(
+            ys[None, :] == tlen[:, None],
+            -(tlf + 1) * del_,
+            -ys[None, :].astype(dtype) * del_,
+        )
+        plane = plane.at[:, 0, 1:].set(row0)
+        plane = plane.at[:, 1:, 0].set(col0)
+        dirs = dirs.at[:, 0, 1:].set(
+            jnp.where(xs[None, :] <= qlen[:, None], jnp.uint8(LEFT), jnp.uint8(BEG))
+        )
+        dirs = dirs.at[:, 1:, 0].set(
+            jnp.where(ys[None, :] <= tlen[:, None], jnp.uint8(TOP), jnp.uint8(BEG))
+        )
+    plane = plane.at[:, 1:, 1:].set(v)
+    dirs = dirs.at[:, 1:, 1:].set(d.astype(jnp.uint8))
+    return plane, dirs
+
+
+def fill_batch_pallas(
+    q,
+    qlen,
+    t,
+    tlen,
+    matrix,
+    del_,
+    ext,
+    *,
+    mode: str = "local",
+    with_planes: bool = True,
+    dtype=jnp.float32,
+) -> FillResult:
+    """Drop-in Pallas counterpart of scan_engine.fill_batch."""
+    if mode not in ("local", "global"):
+        raise ValueError(f"mode must be local|global, got {mode!r}")
+    q = np.asarray(q, np.int32)
+    t = np.asarray(t, np.int32)
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    matrix = np.asarray(matrix)
+    B, C = q.shape
+    R = t.shape[1]
+    batched_mat = matrix.ndim == 3
+    V = matrix.shape[-1]
+    BS = min(_pick_bs(R, C, V, with_planes, batched_mat), max(1, _cdiv(B, LANES)))
+    NB = _cdiv(B, BS * LANES)
+
+    q4 = _seq_operand(_to_tiles(q, NB, BS, (C,)))
+    t4 = _seq_operand(_to_tiles(t, NB, BS, (R,)))
+    # length 0 for padding problems → fully inactive
+    qlen4 = jnp.asarray(_to_tiles(qlen, NB, BS, ()))
+    tlen4 = jnp.asarray(_to_tiles(tlen, NB, BS, ()))
+    if batched_mat:
+        m4 = _seq_operand(_to_tiles(matrix.reshape(B, V * V), NB, BS, (V * V,)))
+        m4 = m4.astype(dtype)
+    else:
+        m4 = jnp.asarray(matrix, dtype)
+
+    interpret = not on_tpu()
+    outs = _run(
+        q4, t4, qlen4, tlen4, m4, float(del_), float(ext),
+        mode=mode, with_planes=with_planes, dtype=dtype, interpret=interpret,
+    )
+    fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
+    plane = dirs = None
+    if with_planes:
+        plane, dirs = _assemble(
+            outs[5], outs[4], NB, BS, B, R, C,
+            jnp.asarray(qlen), jnp.asarray(tlen), mode, float(del_), dtype,
+        )
+    return FillResult(plane=plane, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
+
+
+def fill_pwm_batch_pallas(
+    q,
+    qlen,
+    pwm,
+    del_,
+    ext,
+    *,
+    with_planes: bool = True,
+    dtype=jnp.float32,
+) -> FillResult:
+    """Drop-in Pallas counterpart of scan_engine.fill_pwm_batch.
+
+    Plane dims (qlen+1, W+1): rows are query positions (pwm/mod.rs:44-74).
+    """
+    q = np.asarray(q, np.int32)
+    qlen = np.asarray(qlen, np.int32)
+    pwm = np.asarray(pwm)
+    B, R = q.shape
+    batched_mat = pwm.ndim == 3
+    W = pwm.shape[-1]
+    BS = min(_pick_bs(R, W, 4, with_planes, batched_mat), max(1, _cdiv(B, LANES)))
+    NB = _cdiv(B, BS * LANES)
+
+    t4 = _seq_operand(_to_tiles(q, NB, BS, (R,)))
+    tlen4 = jnp.asarray(_to_tiles(qlen, NB, BS, ()))
+    if batched_mat:
+        m4 = _seq_operand(_to_tiles(pwm.reshape(B, 4 * W), NB, BS, (4 * W,)))
+        m4 = m4.astype(dtype)
+    else:
+        m4 = jnp.asarray(pwm, dtype)
+
+    interpret = not on_tpu()
+    outs = _run(
+        None, t4, None, tlen4, m4, float(del_), float(ext),
+        mode="pwm", with_planes=with_planes, dtype=dtype, interpret=interpret,
+    )
+    fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
+    plane = dirs = None
+    if with_planes:
+        plane, dirs = _assemble(
+            outs[5], outs[4], NB, BS, B, R, W,
+            jnp.full(B, W, jnp.int32), jnp.asarray(qlen), "local", float(del_), dtype,
+        )
+    return FillResult(plane=plane, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
