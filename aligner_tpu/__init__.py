@@ -28,10 +28,50 @@ from .matrices import (
     transform_matrix,
 )
 from .result import Alignment, AlignmentResult, PWMAlignment
+from . import align, heuristic, statistics  # noqa: E402
+from .align import (
+    PWMAligner,
+    SimpleGlobalAligner,
+    SimpleLocalAligner,
+    align_global,
+    align_local,
+    align_pwm,
+    batch_align,
+    batch_align_pwm,
+)
+from .heuristic import (
+    Heuristics,
+    HeuristicAligner,
+    HeuristicPWMAligner,
+    heuristic_align,
+    heuristic_align_population,
+    heuristic_align_pwm,
+)
+from .statistics import DistributionParams, calculate_distribution_params, calculate_p_value
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "align",
+    "heuristic",
+    "statistics",
+    "SimpleGlobalAligner",
+    "SimpleLocalAligner",
+    "PWMAligner",
+    "align_global",
+    "align_local",
+    "align_pwm",
+    "batch_align",
+    "batch_align_pwm",
+    "Heuristics",
+    "HeuristicAligner",
+    "HeuristicPWMAligner",
+    "heuristic_align",
+    "heuristic_align_population",
+    "heuristic_align_pwm",
+    "DistributionParams",
+    "calculate_distribution_params",
+    "calculate_p_value",
     "DNA",
     "Protein",
     "Index",

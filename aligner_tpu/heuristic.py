@@ -1,0 +1,245 @@
+"""Heuristic (matrix-free) aligners.
+
+Equivalent of aligner-core/src/heuristic/mod.rs: derive a scoring matrix
+iteratively — align locally with a transformed matrix, take the
+alignment's substitution-frequency matrix, project it back onto the
+(kd, r²) constraint surface, realign — until the local score stops
+strictly improving (heuristic/mod.rs:58-77).  The returned result is the
+first *non-improving* alignment with the matrix that produced it attached
+(heuristic/mod.rs:73-76).
+
+TPU-native addition: :func:`heuristic_align_population` iterates a whole
+population of candidate starting matrices as one problem batch (the
+aligner-web service ships one Kafka job per matrix, node/main.rs:61-74;
+here the population is the batch axis of a single kernel launch per
+iteration, with converged problems masked out).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .align import align_local, align_pwm, batch_align
+from .alphabet import DNA, Alphabet, Protein
+from .errors import MissingArgument
+from .matrices import transform_matrix
+from .result import AlignmentResult
+
+
+@dataclasses.dataclass
+class Heuristics:
+    """Matrix-derivation parameters (lib.rs:21-25)."""
+
+    kd: float
+    r_squared: float
+    frequencies: np.ndarray
+
+
+def heuristic_align(
+    query,
+    target,
+    matrix,
+    del_: float,
+    ext: float,
+    heuristics: Heuristics | None,
+    *,
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+    max_iters: int = 1000,
+) -> AlignmentResult:
+    """Pairwise heuristic local alignment (heuristic/mod.rs:36-78).
+
+    ``r_squared == 0`` defaults to rows*cols of the seed matrix
+    (heuristic/mod.rs:48-50).  ``max_iters`` is a safety bound absent in
+    the reference (whose loop is unbounded).
+    """
+    if heuristics is None:
+        raise MissingArgument("heuristic aligner requires Heuristics")
+    matrix = np.asarray(matrix, dtype=np.float64)
+    r_squared = heuristics.r_squared
+    if abs(r_squared) < np.finfo(np.float64).eps:
+        r_squared = float(matrix.shape[0] * matrix.shape[1])
+
+    transformed = transform_matrix(
+        matrix, heuristics.kd, r_squared, heuristics.frequencies
+    )
+    max_f = 0.0
+    for _ in range(max_iters):
+        result = align_local(
+            query, target, transformed, del_, ext,
+            alphabet=alphabet, backend=backend,
+        )
+        if result.alignment.f > max_f:
+            max_f = result.alignment.f
+            transformed = transform_matrix(
+                result.alignment.frequency_matrix(),
+                heuristics.kd, r_squared, heuristics.frequencies,
+            )
+        else:
+            result.matrix = transformed
+            return result
+    result.matrix = transformed
+    return result
+
+
+def heuristic_align_pwm(
+    query,
+    pwm,
+    del_: float,
+    ext: float,
+    heuristics: Heuristics | None,
+    *,
+    alphabet: type[Alphabet] = DNA,
+    backend: str | None = None,
+    max_iters: int = 1000,
+) -> AlignmentResult:
+    """Query-vs-PWM heuristic alignment (heuristic/mod.rs:103-141).
+
+    Note the PWM variant does *not* apply the r_squared==0 default.
+    """
+    if heuristics is None:
+        raise MissingArgument("heuristic aligner requires Heuristics")
+    pwm = np.asarray(pwm, dtype=np.float64)
+    transformed = transform_matrix(
+        pwm, heuristics.kd, heuristics.r_squared, heuristics.frequencies
+    )
+    max_f = 0.0
+    for _ in range(max_iters):
+        result = align_pwm(
+            query, transformed, del_, ext, alphabet=alphabet, backend=backend
+        )
+        if result.alignment.f > max_f:
+            max_f = result.alignment.f
+            transformed = transform_matrix(
+                result.alignment.frequency_matrix(),
+                heuristics.kd, heuristics.r_squared, heuristics.frequencies,
+            )
+        else:
+            result.matrix = transformed
+            return result
+    result.matrix = transformed
+    return result
+
+
+def heuristic_align_population(
+    query,
+    target,
+    matrices: np.ndarray,  # (M, V, V) candidate starting matrices
+    del_: float,
+    ext: float,
+    heuristics: Heuristics | None,
+    *,
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+    max_iters: int = 1000,
+) -> list[AlignmentResult]:
+    """Run the heuristic loop for a whole matrix population at once.
+
+    One batched kernel launch per iteration covers every still-improving
+    candidate; per-candidate results are exactly what
+    :func:`heuristic_align` would produce for that starting matrix.
+    Returns one AlignmentResult per input matrix (with ``.matrix`` set).
+    """
+    if heuristics is None:
+        raise MissingArgument("heuristic aligner requires Heuristics")
+    matrices = np.asarray(matrices, dtype=np.float64)
+    M = matrices.shape[0]
+    r_squared = heuristics.r_squared
+    if abs(r_squared) < np.finfo(np.float64).eps:
+        r_squared = float(matrices.shape[1] * matrices.shape[2])
+
+    transformed = np.stack(
+        [
+            transform_matrix(matrices[m], heuristics.kd, r_squared, heuristics.frequencies)
+            for m in range(M)
+        ]
+    )
+    max_f = np.zeros(M)
+    results: list[AlignmentResult | None] = [None] * M
+    active = list(range(M))
+
+    from .align import _encode
+
+    q = _encode(query, alphabet)
+    t = _encode(target, alphabet)
+
+    for _ in range(max_iters):
+        if not active:
+            break
+        batch = batch_align(
+            [q] * len(active), [t] * len(active), transformed[active],
+            del_, ext, mode="local", alphabet=alphabet,
+            backend=backend, with_alignments=True,
+        )
+        still = []
+        for res, m in zip(batch, active):
+            if res.alignment.f > max_f[m]:
+                max_f[m] = res.alignment.f
+                transformed[m] = transform_matrix(
+                    res.alignment.frequency_matrix(),
+                    heuristics.kd, r_squared, heuristics.frequencies,
+                )
+                still.append(m)
+            else:
+                res.matrix = transformed[m].copy()
+                results[m] = res
+        active = still
+    for m in active:  # hit max_iters: attach current state
+        if results[m] is None:
+            res = batch_align(
+                [q], [t], transformed[m][None], del_, ext, mode="local",
+                alphabet=alphabet, backend=backend, with_alignments=True,
+            )[0]
+            res.matrix = transformed[m].copy()
+            results[m] = res
+    return results  # type: ignore[return-value]
+
+
+# --- class wrappers mirroring the reference API ---
+
+
+class HeuristicAligner:
+    """Equivalent of aligner-core HeuristicAligner (heuristic/mod.rs:10-79)."""
+
+    def __init__(self, query, target, alphabet=Protein):
+        self.query = query
+        self.target = target
+        self.alphabet = alphabet
+
+    @classmethod
+    def from_str_seqs(cls, query: str, target: str, alphabet=Protein):
+        return cls(alphabet.encode(query, strict=True),
+                   alphabet.encode(target, strict=True), alphabet)
+
+    @classmethod
+    def from_seqs(cls, query, target, alphabet=Protein):
+        return cls(np.asarray(query, np.int8), np.asarray(target, np.int8), alphabet)
+
+    def perform_alignment(self, del_, ext, matrix, heuristics=None, **kw):
+        return heuristic_align(
+            self.query, self.target, matrix, del_, ext, heuristics,
+            alphabet=self.alphabet, **kw,
+        )
+
+
+class HeuristicPWMAligner:
+    """Equivalent of aligner-core HeuristicPWMAligner (heuristic/mod.rs:81-142)."""
+
+    def __init__(self, query, alphabet=DNA):
+        self.query = query
+        self.alphabet = alphabet
+
+    @classmethod
+    def from_str_seqs(cls, query: str, alphabet=DNA):
+        return cls(alphabet.encode(query), alphabet)
+
+    @classmethod
+    def from_seqs(cls, query, alphabet=DNA):
+        return cls(np.asarray(query, np.int8), alphabet)
+
+    def perform_alignment(self, del_, ext, pwm, heuristics=None, **kw):
+        return heuristic_align_pwm(
+            self.query, pwm, del_, ext, heuristics, alphabet=self.alphabet, **kw
+        )

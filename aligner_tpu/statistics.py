@@ -1,0 +1,231 @@
+"""Karlin-Altschul-style score statistics and p-values.
+
+Faithful transcription of aligner-core/src/statistics/mod.rs with the
+5,000-shuffle score generation batched onto the device (one scores-only
+kernel launch replaces the reference's 10-OS-thread fan-out,
+statistics/mod.rs:253-291).
+
+Reproduced quirks (load-bearing for output parity):
+
+* the outer ML loop *shadows* k and lambda — every outer iteration
+  restarts the Newton/fixed-point estimate from the initial
+  ``k0 = n/Σ(nn·e)``, ``λ0 = 1/variance``; only ``h`` and the active
+  (outlier-filtered) arrays persist (statistics/mod.rs:69-80 ``let (k,
+  lambda) = ...`` inside the loop);
+* after MAXITER outer iterations the *initial* k and λ are returned with
+  the final h (statistics/mod.rs:122);
+* the initial log-likelihood uses ``ln`` while the in-loop one uses
+  ``log10`` (statistics/mod.rs:59,93);
+* inside the Newton iteration the exponential sums are recomputed with
+  the not-yet-updated λ, so each step's f/fd uses one-step-stale sums
+  (statistics/mod.rs:160-166);
+* the thread-quota quirk: thread 5 runs 499 alignments instead of 500,
+  so exactly 5,000 scores including the initial one
+  (statistics/mod.rs:263-266);
+* each shuffle drops a random 0..=6-character tail before permuting
+  (statistics/mod.rs:309-320).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .align import batch_align
+from .alphabet import Alphabet, Protein
+from .errors import ValidationError
+
+MAXITER = 10000
+THREADS = 10
+SEQUENCES = 5000
+THRESHOLD_GLOBAL = 1e-6
+THRESHOLD_LOCAL = 1e-4
+
+
+@dataclasses.dataclass
+class DistributionParams:
+    k: float
+    lambda_: float
+    h: float
+
+    def get_p_value(self, query_length: int, target_length: int, score: float) -> float:
+        """p = 1 - exp(-k·n'·exp(-λ·S)) with edge-corrected n'
+        (statistics/mod.rs:23-33)."""
+        l = np.log(self.k * query_length * target_length) / self.h
+        nn = (query_length - l) * (target_length - l)
+        return float(1.0 - np.exp(-self.k * nn * np.exp(-self.lambda_ * score)))
+
+
+def _nn_edge(k: float, h: float, qlen: float, tl: np.ndarray) -> np.ndarray:
+    l = np.log(k * qlen * tl) / h
+    return (qlen - l) * (tl - l)
+
+
+def _estimate_k_and_lambda(qlen, tl, scores, old_k, old_lambda, h):
+    """Newton on λ + fixed-point k (statistics/mod.rs:125-189)."""
+    k, lam = old_k, old_lambda
+    n = float(len(tl))
+    nn = _nn_edge(k, h, qlen, tl)
+    e = np.exp(-lam * scores)
+    s = float((nn * e).sum())
+    ws = float((nn * scores * e).sum())
+    ssum = float(scores.sum())
+    for _ in range(MAXITER + 1):
+        with np.errstate(all="ignore"):
+            lam_f = 1.0 / lam - ssum / n + ws / s
+            lam_fd = (
+                -(lam ** -2.0)
+                - float((nn * scores * scores * e).sum()) / s
+                + (ws / s) ** 2
+            )
+        if not (np.isfinite(lam_f) and np.isfinite(lam_fd)):
+            return k, lam
+        new_lam = lam - lam_f / lam_fd
+        # recomputed with the *old* λ — one-step-stale by construction
+        e = np.exp(-lam * scores)
+        s = float((nn * e).sum())
+        ws = float((nn * scores * e).sum())
+        with np.errstate(all="ignore"):
+            new_k = n / s
+        if not np.isfinite(new_k) or new_k <= 0.0:
+            return k, lam
+        k, lam = new_k, new_lam
+        if abs(lam_f) < THRESHOLD_LOCAL:
+            return k, lam
+        with np.errstate(all="ignore"):
+            nn = _nn_edge(k, h, qlen, tl)
+    return k, lam
+
+
+def _estimate_h(qlen, tl, scores, k, lam, old_h):
+    """Step-halving/doubling search on h (statistics/mod.rs:191-238)."""
+    h = old_h
+    for _ in range(MAXITER + 1):
+        with np.errstate(all="ignore"):
+            l = np.log(k * qlen * tl) / h
+            nn = (qlen - l) * (tl - l)
+            a = 2.0 * l - qlen - tl
+            b = 1.0 / nn - k * np.exp(-lam * scores)
+            c = -l / h
+            h_g = float((a * b * c).sum())
+            h_gd = float(
+                (2.0 * b * c * c - (a * c / nn) ** 2 - 2.0 * a * b * c / h).sum()
+            )
+        if abs(h_g) < THRESHOLD_LOCAL:
+            return h
+        if h_gd > 0.0:
+            h = h * 2.0 if h_g > 0.0 else h / 2.0
+        elif h_g <= 0.0:
+            h = h / 2.0
+        else:
+            h = h - h_g / h_gd
+    return h
+
+
+def calculate_distribution_params(
+    query_length: int, target_lengths: np.ndarray, scores: np.ndarray
+) -> DistributionParams:
+    """ML fit of (k, λ, h) (statistics/mod.rs:36-123)."""
+    tl = np.asarray(target_lengths, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    if len(scores) != len(tl):
+        raise ValidationError("scores and target_lengths length mismatch")
+
+    var = float(((scores - scores.mean()) ** 2).mean())  # central_moment(2)
+    if not np.isfinite(var) or var == 0.0:
+        raise ValidationError("degenerate score distribution")
+    lam0 = 1.0 / var
+    h = 1.0
+    qlen = float(query_length)
+    n = float(len(tl))
+
+    nn = qlen * tl
+    k0 = n / float((nn * np.exp(-lam0 * scores)).sum())
+
+    log_likelihood = float(
+        n * np.log(lam0 * k0)
+        + (np.log(nn) - lam0 * scores - k0 * nn * np.exp(-lam0 * scores)).sum()
+    )
+
+    active_tl = tl.copy()
+    active_scores = scores.copy()
+
+    for _ in range(MAXITER + 1):
+        # NOTE: restarts from (k0, lam0) each outer iteration — the Rust
+        # `let (k, lambda)` shadows the outer immutable bindings.
+        k, lam = _estimate_k_and_lambda(qlen, active_tl, active_scores, k0, lam0, h)
+        h = _estimate_h(qlen, active_tl, active_scores, k, lam, h)
+
+        with np.errstate(all="ignore"):
+            nn = _nn_edge(k, h, qlen, tl)
+            ll_new = float(
+                n * np.log10(lam * k)
+                + (
+                    np.log10(nn)
+                    - lam * scores
+                    - k * nn * np.exp(-lam * scores)
+                ).sum()
+            )
+        if abs(ll_new - log_likelihood) / log_likelihood < THRESHOLD_GLOBAL:
+            return DistributionParams(k, lam, h)
+        log_likelihood = ll_new
+
+        with np.errstate(all="ignore"):
+            keep = n * (1.0 - np.exp(-k * nn * np.exp(-lam * scores))) >= 1.0
+        active_tl = tl[keep]
+        active_scores = scores[keep]
+
+    return DistributionParams(k0, lam0, h)
+
+
+def shuffle_and_randomize_sequence(seq: np.ndarray, rng: np.random.Generator):
+    """Shuffled copy with a random 0..=6-char tail dropped
+    (statistics/mod.rs:309-320)."""
+    lock = int(rng.integers(0, 7))
+    out = np.array(seq[: len(seq) - lock])
+    rng.shuffle(out)
+    return out
+
+
+def calculate_p_value(
+    query,
+    target,
+    initial_score: float,
+    del_: float,
+    ins: float,
+    matrix: np.ndarray,
+    *,
+    alphabet: type[Alphabet] = Protein,
+    rng: np.random.Generator | None = None,
+    backend: str | None = None,
+    n_sequences: int = SEQUENCES,
+) -> float:
+    """End-to-end p-value (statistics/mod.rs:240-307).
+
+    The 4,999 shuffled local alignments run as one batched scores-only
+    launch.  Unlike the reference (unseeded thread_rng), pass ``rng`` for
+    reproducibility.
+    """
+    from .align import _encode
+
+    q = _encode(query, alphabet)
+    t = _encode(target, alphabet)
+    rng = rng or np.random.default_rng()
+
+    # thread-quota quirk: 9 full quotas + one short by 1 (mod.rs:263-266)
+    quota = n_sequences // THREADS
+    counts = [quota] * THREADS
+    counts[5] = n_sequences - quota * (THREADS - 1) - 1
+    total = sum(counts)
+
+    shuffles = [shuffle_and_randomize_sequence(t, rng) for _ in range(total)]
+    res = batch_align(
+        [q] * total, shuffles, matrix, del_, ins,
+        mode="local", alphabet=alphabet, backend=backend,
+    )
+    scores = np.concatenate([[initial_score], np.asarray(res.fmax, np.float64)])
+    lengths = np.concatenate([[len(t)], [len(s) for s in shuffles]])
+
+    params = calculate_distribution_params(len(q), lengths, scores)
+    return params.get_p_value(len(q), len(t), initial_score)

@@ -1,0 +1,128 @@
+"""Heuristic matrix-free aligners and Karlin-Altschul statistics."""
+
+import numpy as np
+import pytest
+
+import aligner_tpu as at
+from aligner_tpu.heuristic import (
+    Heuristics,
+    HeuristicAligner,
+    HeuristicPWMAligner,
+    heuristic_align,
+    heuristic_align_population,
+    heuristic_align_pwm,
+)
+from aligner_tpu.statistics import (
+    DistributionParams,
+    calculate_distribution_params,
+    calculate_p_value,
+    shuffle_and_randomize_sequence,
+)
+
+
+def _heur(rng, vol=24):
+    freqs = rng.random(vol)
+    freqs /= freqs.sum()
+    return Heuristics(kd=2.0, r_squared=1e4, frequencies=freqs)
+
+
+def test_heuristic_align_backends_agree(rng):
+    h = _heur(rng)
+    q = rng.integers(0, 24, 30).astype(np.int8)
+    t = rng.integers(0, 24, 35).astype(np.int8)
+    a = heuristic_align(q, t, at.blosum62(), 7.0, 3.0, h, backend="oracle")
+    b = heuristic_align(q, t, at.blosum62(), 7.0, 3.0, h, backend="xla")
+    assert a.alignment.f == b.alignment.f
+    assert np.array_equal(a.alignment.query, b.alignment.query)
+    assert np.array_equal(a.matrix, b.matrix)
+    assert a.matrix is not None
+
+
+def test_heuristic_missing_argument():
+    with pytest.raises(at.MissingArgument):
+        heuristic_align("HEAGAWGHEE", "PAWHEAE", at.blosum62(), 7.0, 3.0, None)
+
+
+def test_heuristic_r_squared_default(rng):
+    """r²==0 → rows*cols (heuristic/mod.rs:48-50)."""
+    h = _heur(rng)
+    h.kd = 0.0
+    h.r_squared = 0.0
+    q = rng.integers(0, 24, 20).astype(np.int8)
+    t = rng.integers(0, 24, 20).astype(np.int8)
+    res = heuristic_align(q, t, at.blosum62(), 7.0, 3.0, h, backend="oracle")
+    assert np.isclose(float((np.asarray(res.matrix) ** 2).sum()), 24 * 24)
+
+
+def test_heuristic_population_matches_singles(rng):
+    h = _heur(rng)
+    q = rng.integers(0, 24, 25).astype(np.int8)
+    t = rng.integers(0, 24, 25).astype(np.int8)
+    mats = np.stack(
+        [np.asarray(at.blosum62()) + rng.integers(-2, 3, (24, 24)) for _ in range(4)]
+    ).astype(np.float64)
+    pop = heuristic_align_population(q, t, mats, 7.0, 3.0, h, backend="xla")
+    for m in range(4):
+        single = heuristic_align(q, t, mats[m], 7.0, 3.0, h, backend="oracle")
+        assert pop[m].alignment.f == single.alignment.f
+        assert np.array_equal(pop[m].alignment.query, single.alignment.query)
+        assert np.allclose(pop[m].matrix, single.matrix)
+
+
+def test_heuristic_pwm(rng):
+    freqs = rng.random(4)
+    freqs /= freqs.sum()
+    h = Heuristics(kd=0.0, r_squared=21.0, frequencies=freqs)
+    q = rng.integers(0, 4, 60).astype(np.int8)
+    pwm = at.random_pwm(10, rng)
+    res = heuristic_align_pwm(q, pwm, 3.0, 1.0, h, backend="oracle")
+    res2 = heuristic_align_pwm(q, pwm, 3.0, 1.0, h, backend="xla")
+    assert res.alignment.f == res2.alignment.f
+    assert res.matrix.shape == (4, 10)
+    al = HeuristicPWMAligner.from_seqs(q)
+    res3 = al.perform_alignment(3.0, 1.0, pwm, h, backend="oracle")
+    assert res3.alignment.f == res.alignment.f
+
+
+def test_heuristic_class_wrapper(rng):
+    h = _heur(rng)
+    al = HeuristicAligner.from_str_seqs("HEAGAWGHEE", "PAWHEAE")
+    res = al.perform_alignment(7.0, 3.0, at.blosum62(), h, backend="oracle")
+    assert res.matrix is not None
+
+
+def test_shuffle_drops_tail(rng):
+    seq = np.arange(50, dtype=np.int8)
+    for _ in range(20):
+        out = shuffle_and_randomize_sequence(seq, rng)
+        assert 44 <= len(out) <= 50
+        assert set(out).issubset(set(range(50)))
+
+
+def test_distribution_params_and_p_value(rng):
+    # synthetic Gumbel-ish scores
+    lengths = np.full(400, 300)
+    scores = rng.gumbel(30, 8, size=400)
+    params = calculate_distribution_params(250, lengths, scores)
+    assert np.isfinite(params.k) and np.isfinite(params.lambda_) and np.isfinite(params.h)
+    p_low = params.get_p_value(250, 300, 80.0)
+    p_high = params.get_p_value(250, 300, 20.0)
+    assert 0.0 <= p_low <= 1.0
+    assert p_low < p_high
+
+
+def test_calculate_p_value_end_to_end(rng):
+    q = rng.integers(0, 24, 40).astype(np.int8)
+    t = rng.integers(0, 24, 40).astype(np.int8)
+    res = at.align.align_local(q, t, at.blosum62(), 11.0, 2.0, backend="xla")
+    p = calculate_p_value(
+        q, t, res.alignment.f, 11.0, 2.0, at.blosum62(),
+        rng=np.random.default_rng(1), backend="xla", n_sequences=200,
+    )
+    assert 0.0 <= p <= 1.0
+    # deterministic with the same seed
+    p2 = calculate_p_value(
+        q, t, res.alignment.f, 11.0, 2.0, at.blosum62(),
+        rng=np.random.default_rng(1), backend="xla", n_sequences=200,
+    )
+    assert p == p2
