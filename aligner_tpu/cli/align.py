@@ -1,0 +1,72 @@
+"""``aligner-align`` — pairwise-align two FASTA records.
+
+Equivalent of aligner-core/src/bin/aligner-cli (main.rs, args.rs): reads a
+FASTA with exactly two records, aligns them over the Protein alphabet
+with the embedded BLOSUM62, default del=11 ext=2, ``--global`` switches
+from local to global.  Where the reference debug-prints the match-string
+vector (main.rs:53) and ignores ``--output``, this CLI renders the gapped
+query/match/target lines plus score and coords, to stdout and (if given)
+to ``--output``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..align import align_global, align_local
+from ..alphabet import Protein
+from ..errors import ValidationError
+from ..io import read_fasta_file
+from ..matrices import blosum62
+from ..result import Alignment
+
+
+def render_result(alignment: Alignment, matrix) -> str:
+    q, t = alignment.render()
+    match = Protein.decode(alignment.match_string(matrix))
+    lines = [
+        f"query : {q}",
+        f"match : {match}",
+        f"target: {t}",
+        f"score : {alignment.f}",
+        f"coords: query {alignment.coords[0]}, target {alignment.coords[1]}",
+    ]
+    return "\n".join(lines)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="aligner-align", description=__doc__.splitlines()[0]
+    )
+    ap.add_argument("-i", "--input", required=True, help="FASTA with 2 records")
+    ap.add_argument("-d", "--deletions", type=float, default=11.0)
+    ap.add_argument("-e", "--extension", type=float, default=2.0)
+    ap.add_argument("-g", "--global", dest="global_", action="store_true")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument(
+        "--backend", default=None, choices=["oracle", "xla", "pallas"],
+        help="compute backend (default: pallas on TPU, xla elsewhere)",
+    )
+    args = ap.parse_args(argv)
+
+    seqs = read_fasta_file(args.input)
+    if len(seqs) != 2:
+        raise ValidationError(f"There's should be 2 sequences, not {len(seqs)}")
+
+    m = blosum62()
+    fn = align_global if args.global_ else align_local
+    result = fn(
+        seqs[0].seq.decode(), seqs[1].seq.decode(), m,
+        args.deletions, args.extension, backend=args.backend,
+    )
+    out = render_result(result.alignment, m)
+    print(out)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,377 @@
+"""Latent-repeat-search engine.
+
+Faithful re-architecture of the reference engine
+(aligner-core/src/bin/latent-repeat-search/engine/): the thread fan-outs
+over windows (calc.rs:45-75, 105-144) become batched device launches —
+a scores-only pass over every window, then a full-alignment pass over
+only the z-filtered survivors (whose frequency matrices feed the next
+cycle's matrix).
+
+Replicated behavior details:
+
+* window enumeration: thread i starts at ``i*query_offset`` and steps by
+  ``step*threads``; ``step`` is ``len/1000`` for the simple-init starting
+  scan, else ``query_offset`` (calc.rs:37-41,56,114); window end clips at
+  the sequence end when ``j + repeat_length + query_offset >= length``;
+* starting stats use the std *with* sqrt (calc.rs:78-86), cycle updates
+  use the variance as σ — the reference's missing-sqrt quirk
+  (calc.rs:197-202);
+* z threshold 3.0 (calc.rs:17), applied ``z >= Z``;
+* the overlap filter is transcribed statement-for-statement from
+  engine/mod.rs:49-102, including its non-transitive intersection check
+  against the batch's first task and the possible re-processing of the
+  final task when a batch extends to the end of the list;
+* cycle loop: break on an empty scan keeping the previous tasks; matrix
+  re-derivation only when another cycle follows (calc.rs:182-219);
+  kd=0, r² = del*ext for every transform in exploring mode
+  (calc.rs:156-164,209-215);
+* reversed pass: one extra cycle on the reversed compacted sequence with
+  rotated indices, reusing the final mean/std/matrix (calc.rs:223-238).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..align import batch_align_pwm
+from ..alphabet import DNA, Index, index_coord, rotate_indices
+from ..heuristic import Heuristics, heuristic_align_pwm
+from ..matrices import random_pwm, transform_matrix
+from ..result import PWMAlignment
+
+Z = 3.0
+TEST_SEQUENCE_LENGTH = 100_000
+DESCENDANTS_AMOUNT = 10
+SCAN_CHUNK = 8192  # windows per device launch
+
+
+@dataclasses.dataclass
+class Task:
+    """A candidate repeat site (engine/task.rs:4-10)."""
+
+    alignment: PWMAlignment | None
+    left_coord: int
+    right_coord: int
+    z: float
+    f: float
+
+
+@dataclasses.dataclass
+class TaskResult:
+    tasks: list[Task]
+    matrix: np.ndarray
+
+
+@dataclasses.dataclass
+class SearchOptions:
+    """CLI options (latent-repeat-search/args.rs:5-44 defaults)."""
+
+    repeat_length: int = 300
+    query_offset: int = 30
+    deletions: float = 30.0
+    extension: float = 7.0
+    rsquared: float = 100_000.0
+    kd: float = 0.0
+    threads: int = 1
+    repeats: int = 10
+    simple_init: bool = False
+    reverse: bool = False
+    backend: str | None = None
+
+
+def windows_of(length: int, opts: SearchOptions, step: int) -> list[tuple[int, int]]:
+    """The exact window set of the reference's thread fan-out.
+
+    Thread i yields ``j = i*query_offset, i*query_offset + step*threads,
+    ...`` (calc.rs:56,114); results arrive over an mpsc channel in
+    nondeterministic order, so order here (thread-major) is as good as
+    the reference's.
+    """
+    out = []
+    for i in range(opts.threads):
+        j = i * opts.query_offset
+        stride = max(step * opts.threads, 1)
+        while j < length:
+            border = (
+                length
+                if j + opts.repeat_length + opts.query_offset >= length
+                else j + opts.repeat_length + opts.query_offset
+            )
+            out.append((j, border))
+            j += stride
+    return out
+
+
+def _scan_scores(
+    seq: np.ndarray, wins: list[tuple[int, int]], matrix: np.ndarray,
+    opts: SearchOptions,
+) -> np.ndarray:
+    """Scores-only PWM alignment of every window (chunked launches)."""
+    fs = np.empty(len(wins), dtype=np.float64)
+    for lo in range(0, len(wins), SCAN_CHUNK):
+        chunk = wins[lo : lo + SCAN_CHUNK]
+        qs = [seq[j:border] for j, border in chunk]
+        res = batch_align_pwm(
+            qs, matrix, opts.deletions, opts.extension, backend=opts.backend
+        )
+        fs[lo : lo + len(chunk)] = np.asarray(res.fmax, np.float64)
+    return fs
+
+
+def calculate_starting_values(
+    seq: np.ndarray, matrix: np.ndarray, opts: SearchOptions,
+    rng: np.random.Generator,
+) -> tuple[float, float]:
+    """Mean/std of window scores over the shuffled sequence
+    (calc.rs:19-86)."""
+    shuffled = np.array(seq)
+    rng.shuffle(shuffled)
+    step = len(seq) // 1000 if opts.simple_init else opts.query_offset
+    wins = windows_of(len(seq), opts, step)
+    fs = _scan_scores(shuffled, wins, matrix, opts)
+    mean = float(fs.mean())
+    std = float(np.sqrt(((fs - mean) ** 2).mean()))
+    return mean, std
+
+
+def calculate_cycle(
+    seq: np.ndarray,
+    matrix: np.ndarray,
+    indices: list[Index],
+    mean: float,
+    std: float,
+    opts: SearchOptions,
+) -> list[Task]:
+    """One scan over the real sequence; keep windows with z >= 3
+    (calc.rs:88-147).  Alignments (needed for frequency matrices) are
+    computed only for the surviving windows, in a second full-mode pass.
+    """
+    wins = windows_of(len(seq), opts, opts.query_offset)
+    fs = _scan_scores(seq, wins, matrix, opts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (fs - mean) / std  # std may be 0 — inf/nan matches the reference
+    keep = np.flatnonzero(z >= Z)
+    tasks: list[Task] = []
+    for lo in range(0, len(keep), SCAN_CHUNK):
+        idxs = keep[lo : lo + SCAN_CHUNK]
+        qs = [seq[wins[i][0] : wins[i][1]] for i in idxs]
+        full = batch_align_pwm(
+            qs, matrix, opts.deletions, opts.extension,
+            backend=opts.backend, with_alignments=True,
+        )
+        for res, i in zip(full, idxs):
+            j, border = wins[i]
+            tasks.append(
+                Task(
+                    alignment=res.alignment,
+                    left_coord=index_coord(j, indices),
+                    right_coord=index_coord(border, indices),
+                    z=float(z[i]),
+                    f=float(fs[i]),
+                )
+            )
+    return tasks
+
+
+def _check_intersection(c1: tuple[int, int], c2: tuple[int, int]) -> bool:
+    """engine/mod.rs:104-119 (verbatim, including the duplicated first
+    clause)."""
+    if c2[0] <= c1[0] <= c2[1]:
+        return True
+    if c2[0] <= c1[1] <= c2[1]:
+        return True
+    if c2[0] >= c1[0] and c2[1] <= c1[1]:
+        return True
+    if c2[0] <= c1[0] <= c2[1]:
+        return True
+    return False
+
+
+def filter_tasks(tasks: list[Task]) -> list[Task]:
+    """Overlap de-duplication keeping max-z per batch (engine/mod.rs:49-102).
+
+    Statement-for-statement port: batches grow while tasks intersect the
+    batch's *first* task; when a batch runs to the end of the list the
+    final task is revisited and re-added unless one with the same
+    left_coord is already in the result (Task PartialEq, task.rs:12-16).
+    """
+    if not tasks:
+        return []
+    if len(tasks) == 1:
+        return list(tasks)
+
+    result: list[Task] = []
+    tasks = sorted(tasks, key=lambda t: t.left_coord)
+
+    while tasks:
+        if len(tasks) == 1:
+            if all(t.left_coord != tasks[0].left_coord for t in result):
+                result.append(tasks[0])
+            break
+
+        current = tasks[0]
+        batch = [current]
+        index = 0
+        for i, task in enumerate(tasks[1:]):
+            index = i
+            if _check_intersection(
+                (current.left_coord, current.right_coord),
+                (task.left_coord, task.right_coord),
+            ):
+                batch.append(task)
+            else:
+                break
+
+        if len(batch) == 1:
+            result.append(batch[0])
+        else:
+            result.append(max(batch, key=lambda t: t.z))
+
+        tasks = tasks[index + 1 :]
+
+    return result
+
+
+def generate_descendants(
+    sequence: np.ndarray, amount: int, offset: int, rng: np.random.Generator,
+    volume: int = 4,
+) -> list[np.ndarray]:
+    """engine/mod.rs:17-31 (MutationPercent::Quarter → offset 4)."""
+    return [mutate(sequence, offset, i, rng, volume) for i in range(amount)]
+
+
+def mutate(
+    sequence: np.ndarray, offset: int, start: int, rng: np.random.Generator,
+    volume: int = 4,
+) -> np.ndarray:
+    """Randomize every ``offset``-th position from phase ``start``
+    (engine/mod.rs:33-47)."""
+    out = np.array(sequence)
+    for i in range(start, len(sequence), offset):
+        out[i] = rng.integers(0, volume)
+    return out
+
+
+def perform_calculation_per_sequence(
+    opts: SearchOptions, raw_seq: bytes, head: str,
+    rng: np.random.Generator,
+) -> dict[str, TaskResult]:
+    """Full per-chromosome search (calc.rs:149-241)."""
+    seq, freqs, indices = DNA.encode_with_freqs_and_indices(raw_seq)
+    matrix = random_pwm(opts.repeat_length, rng)
+    matrix = transform_matrix(matrix, 0.0, opts.deletions * opts.extension, freqs)
+
+    mean, std = calculate_starting_values(seq, matrix, opts, rng)
+
+    result: dict[str, TaskResult] = {}
+    tasks: list[Task] = []
+
+    for i in range(opts.repeats):
+        new_tasks = calculate_cycle(seq, matrix, indices, mean, std, opts)
+        if not new_tasks:
+            break
+        tasks = filter_tasks(new_tasks)
+
+        if i < opts.repeats - 1:
+            fs = np.array([t.f for t in tasks])
+            mean = float(fs.mean())
+            # reference quirk: variance used as sigma (no sqrt, calc.rs:197-202)
+            std = float(((fs - mean) ** 2).mean())
+
+            matrix = np.zeros_like(matrix)
+            for task in tasks:
+                matrix = matrix + task.alignment.frequency_matrix()
+            matrix = transform_matrix(
+                matrix, 0.0, opts.deletions * opts.extension, freqs
+            )
+
+    result["direct"] = TaskResult(tasks, matrix.copy())
+
+    if opts.reverse:
+        rev = seq[::-1].copy()
+        rotated = rotate_indices(indices, len(rev))
+        inv = calculate_cycle(rev, matrix, rotated, mean, std, opts)
+        result["inverse"] = TaskResult(filter_tasks(inv), matrix)
+
+    return result
+
+
+# --- CLI modes (cmd/{testing,exploring,csv}.rs) ---
+
+
+def run_testing_cmd(
+    opts: SearchOptions, rng: np.random.Generator,
+    sequence_length: int = TEST_SEQUENCE_LENGTH,
+    descendants_amount: int = DESCENDANTS_AMOUNT,
+) -> dict[str, TaskResult]:
+    """Synthetic self-test (cmd/testing.rs): plant 10 mutated copies of a
+    random query in a random chromosome and search for them.  The length
+    knobs default to the reference constants (testing.rs:10-11)."""
+    sequence_raw = DNA.random_seq(sequence_length, rng)
+    query, freqs = DNA.random_seq_with_freqs(
+        opts.repeat_length + opts.query_offset, rng
+    )
+
+    matrix = random_pwm(opts.repeat_length, rng)
+    res = heuristic_align_pwm(
+        query, matrix, opts.deletions, opts.extension,
+        Heuristics(kd=opts.kd, r_squared=opts.rsquared, frequencies=freqs),
+        backend=opts.backend,
+    )
+    matrix = res.matrix
+
+    descendants = generate_descendants(query, descendants_amount, 4, rng)
+    offset = len(sequence_raw) // (len(descendants) + 1)
+    # exact reference construction (testing.rs:52-57): the first chunk is
+    # reused for descendant 0
+    parts = [sequence_raw[:offset]]
+    for i, d in enumerate(descendants):
+        parts.append(d)
+        parts.append(sequence_raw[offset * i : offset * (i + 1)])
+    sequence = np.concatenate(parts)
+
+    mean, std = calculate_starting_values(sequence, matrix, opts, rng)
+    tasks = calculate_cycle(sequence, matrix, [], mean, std, opts)
+    return {"test": TaskResult(tasks, matrix)}
+
+
+def run_exploring_cmd(
+    opts: SearchOptions, fasta_path, rng: np.random.Generator
+) -> dict[str, TaskResult]:
+    """Search every record of a FASTA file (cmd/exploring.rs)."""
+    from ..io import read_fasta_file
+
+    result: dict[str, TaskResult] = {}
+    for rec in read_fasta_file(fasta_path):
+        per_seq = perform_calculation_per_sequence(opts, rec.seq, rec.head, rng)
+        if "direct" in per_seq:
+            result[rec.head] = per_seq["direct"]
+        if "inverse" in per_seq:
+            result[f"{rec.head}-reversed"] = per_seq["inverse"]
+    return result
+
+
+def run_csv_cmd(
+    opts: SearchOptions, fasta_path, csv_path, rng: np.random.Generator
+) -> dict[str, TaskResult]:
+    """Exploring mode with known repeats masked out (cmd/csv.rs +
+    sequences.rs:33-43)."""
+    from ..io import read_fasta_file, read_records
+    from ..io.fasta import mask_intervals
+
+    data = read_records(csv_path)
+    result: dict[str, TaskResult] = {}
+    for rec in read_fasta_file(fasta_path):
+        seq = rec.seq
+        if rec.head in data:
+            seq = mask_intervals(
+                seq, [(r.left_coord, r.right_coord) for r in data[rec.head]]
+            )
+        per_seq = perform_calculation_per_sequence(opts, seq, rec.head, rng)
+        if "direct" in per_seq:
+            result[rec.head] = per_seq["direct"]
+        if "inverse" in per_seq:
+            result[f"{rec.head}-reversed"] = per_seq["inverse"]
+    return result

@@ -1,0 +1,146 @@
+"""Latent-repeat-search engine and CLI tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from aligner_tpu.repeat.engine import (
+    SearchOptions,
+    Task,
+    calculate_cycle,
+    calculate_starting_values,
+    filter_tasks,
+    generate_descendants,
+    mutate,
+    perform_calculation_per_sequence,
+    run_testing_cmd,
+    windows_of,
+)
+
+
+def _task(z, left, right):
+    return Task(alignment=None, left_coord=left, right_coord=right, z=z, f=0.0)
+
+
+def test_filter_reference_golden():
+    """Port of the reference's filter_test (engine/test.rs:5-64)."""
+    tasks = [
+        _task(12.240966, 300, 630),
+        _task(12.378159, 360, 690),
+        _task(11.762683, 1080, 1410),
+        _task(10.471823, 1740, 2070),
+        _task(11.392030, 1860, 2190),
+    ]
+    out = filter_tasks(tasks)
+    got = [(t.z, t.left_coord, t.right_coord) for t in out]
+    assert got == [
+        (12.378159, 360, 690),
+        (11.762683, 1080, 1410),
+        (11.392030, 1860, 2190),
+    ]
+
+
+def test_filter_edge_cases():
+    assert filter_tasks([]) == []
+    one = [_task(1.0, 0, 10)]
+    assert filter_tasks(one) == one
+    # all overlapping: max-z wins, last task re-checked but deduped by
+    # left_coord only when equal
+    out = filter_tasks([_task(1.0, 0, 100), _task(5.0, 10, 110), _task(2.0, 20, 120)])
+    zs = sorted(t.z for t in out)
+    assert 5.0 in zs
+
+
+def test_windows_enumeration():
+    opts = SearchOptions(repeat_length=30, query_offset=10, threads=1)
+    wins = windows_of(100, opts, 10)
+    assert wins[0] == (0, 40)
+    assert wins[1] == (10, 50)
+    # clipping: j + 30 + 10 >= 100 → border = 100
+    assert all(b == 100 for (j, b) in wins if j + 40 >= 100)
+    # multi-thread window set: same set, thread-major order
+    opts3 = SearchOptions(repeat_length=30, query_offset=10, threads=3)
+    wins3 = windows_of(100, opts3, 10)
+    assert sorted(wins3) == sorted(wins)
+
+
+def test_mutate_and_descendants(rng):
+    seq = np.zeros(20, dtype=np.int8)
+    m = mutate(seq, 4, 1, rng)
+    changed = np.flatnonzero(m != 0)
+    assert set(changed).issubset({1, 5, 9, 13, 17})
+    ds = generate_descendants(seq, 10, 4, rng)
+    assert len(ds) == 10
+    assert all(len(d) == 20 for d in ds)
+
+
+def test_testing_mode_finds_planted_repeats(rng):
+    opts = SearchOptions(
+        repeat_length=24, query_offset=8, deletions=5.0, extension=2.0,
+        rsquared=100.0, kd=0.0, backend="xla",
+    )
+    res = run_testing_cmd(opts, rng, sequence_length=3000, descendants_amount=6)
+    assert "test" in res
+    tasks, matrix = res["test"].tasks, res["test"].matrix
+    assert matrix.shape == (4, 24)
+    # planted mutated repeats should produce some high-z windows
+    assert len(tasks) >= 1
+
+
+def test_perform_calculation_per_sequence(rng):
+    # synthetic chromosome with an embedded repeat family and an N-run
+    motif = rng.integers(0, 4, 40)
+    chrom = []
+    for _ in range(6):
+        chrom.append(rng.integers(0, 4, 120))
+        chrom.append(motif)
+    raw = "".join("ATCG"[c] for arr in chrom for c in arr)
+    raw = raw[:200] + "NNNNN" + raw[200:]  # invalid run → Index records
+    opts = SearchOptions(
+        repeat_length=32, query_offset=12, deletions=6.0, extension=2.0,
+        repeats=2, reverse=True, backend="xla",
+    )
+    res = perform_calculation_per_sequence(opts, raw.encode(), "chr", rng)
+    assert "direct" in res and "inverse" in res
+    for t in res["direct"].tasks:
+        assert 0 <= t.left_coord < t.right_coord <= len(raw)
+
+
+def test_cli_exploring(tmp_path, rng):
+    from aligner_tpu.cli.repeat_search import main
+
+    motif = "".join("ATCG"[c] for c in rng.integers(0, 4, 30))
+    seq = "".join(
+        "".join("ATCG"[c] for c in rng.integers(0, 4, 80)) + motif for _ in range(5)
+    )
+    fasta = tmp_path / "in.fasta"
+    fasta.write_text(">chrT\n" + seq + "\n")
+    out = tmp_path / "res.csv"
+    rc = main([
+        "-i", str(fasta), "-o", str(out), "-r", "24", "-q", "8",
+        "-d", "6", "-e", "2", "--repeats", "2", "--seed", "0",
+        "--backend", "xla",
+    ])
+    assert rc == 0
+    assert out.exists()
+    mats = json.loads((tmp_path / "res.csv.matrices.json").read_text())
+    for v in mats.values():
+        assert v["v"] == 1 and v["dim"] == [4, 24]
+        assert len(v["data"]) == 4 * 24
+
+
+def test_cli_align(tmp_path, capsys):
+    from aligner_tpu.cli.align import main
+
+    rc = main(["-i", "examples/book_example_1.fasta", "--backend", "oracle"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "query :" in out and "score :" in out
+
+    rc = main([
+        "-i", "examples/book_example_1.fasta", "-g",
+        "--backend", "oracle", "-o", str(tmp_path / "res.txt"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "res.txt").exists()
