@@ -1,0 +1,134 @@
+"""Lease-based work queue — the Kafka replacement.
+
+Semantics matched to the reference's consumer setup (node/main.rs:32-44):
+consumer groups, at-least-once delivery (a claimed job whose lease
+expires before commit is redelivered), and a consumer registry backing
+``/health/check`` (the reference lists consumer-group members,
+handlers.rs:52-67).  Backed by the same sqlite file as the results store
+so a single ALIGNER_DB env var configures the whole service.
+
+TPU-native departure: ``claim_batch`` hands a worker *many* jobs of the
+same task at once, so a worker turns a message stream into one batched
+device launch per heuristic iteration.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import time
+import uuid
+from contextlib import contextmanager
+
+_SCHEMA = [
+    """create table if not exists jobs (
+        id integer primary key autoincrement,
+        topic text not null,
+        grp text not null,
+        payload text not null,
+        status text not null default 'ready',   -- ready | claimed | done
+        consumer text,
+        lease_until double,
+        created double not null
+    )""",
+    "create index if not exists jobs_topic on jobs (topic, grp, status)",
+    """create table if not exists consumers (
+        name text primary key,
+        grp text not null,
+        last_seen double not null
+    )""",
+]
+
+HEALTH_WINDOW = 15.0  # seconds of silence before a consumer drops out
+
+
+class JobQueue:
+    def __init__(self, path: str | None = None):
+        from .store import default_db_path
+
+        self.path = path or os.environ.get("ALIGNER_QUEUE", default_db_path())
+        with self._conn() as c:
+            for q in _SCHEMA:
+                c.execute(q)
+
+    @contextmanager
+    def _conn(self):
+        conn = sqlite3.connect(self.path, timeout=30.0)
+        try:
+            conn.execute("pragma journal_mode=WAL")
+            yield conn
+            conn.commit()
+        finally:
+            conn.close()
+
+    def produce(self, topic: str, payload: str, group: str = "aligner.jobs.group"):
+        with self._conn() as c:
+            c.execute(
+                "insert into jobs (topic, grp, payload, created) values (?,?,?,?)",
+                (topic, group, payload, time.time()),
+            )
+
+    def register_consumer(self, group: str, name: str | None = None) -> str:
+        name = name or f"consumer-{uuid.uuid4().hex[:8]}"
+        self.heartbeat(name, group)
+        return name
+
+    def heartbeat(self, name: str, group: str) -> None:
+        with self._conn() as c:
+            c.execute(
+                """insert into consumers (name, grp, last_seen) values (?,?,?)
+                   on conflict(name) do update set last_seen = excluded.last_seen""",
+                (name, group, time.time()),
+            )
+
+    def group_members(self, group: str) -> list[str]:
+        with self._conn() as c:
+            rows = c.execute(
+                "select name from consumers where grp = ? and last_seen >= ?",
+                (group, time.time() - HEALTH_WINDOW),
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    def claim_batch(
+        self,
+        topic: str,
+        consumer: str,
+        group: str = "aligner.jobs.group",
+        limit: int = 64,
+        lease: float = 120.0,
+    ) -> list[tuple[int, str]]:
+        """Claim up to ``limit`` ready (or lease-expired) jobs."""
+        now = time.time()
+        with self._conn() as c:
+            rows = c.execute(
+                """select id, payload from jobs
+                   where topic = ? and grp = ?
+                     and (status = 'ready'
+                          or (status = 'claimed' and lease_until < ?))
+                   order by id limit ?""",
+                (topic, group, now, limit),
+            ).fetchall()
+            ids = [r[0] for r in rows]
+            if ids:
+                marks = ",".join("?" * len(ids))
+                c.execute(
+                    f"update jobs set status='claimed', consumer=?, lease_until=? "
+                    f"where id in ({marks})",
+                    (consumer, now + lease, *ids),
+                )
+        return [(r[0], r[1]) for r in rows]
+
+    def commit(self, job_ids: list[int]) -> None:
+        if not job_ids:
+            return
+        with self._conn() as c:
+            marks = ",".join("?" * len(job_ids))
+            c.execute(f"update jobs set status='done' where id in ({marks})", job_ids)
+
+    def pending(self, topic: str, group: str = "aligner.jobs.group") -> int:
+        with self._conn() as c:
+            row = c.execute(
+                "select count(1) from jobs where topic=? and grp=? and status != 'done'",
+                (topic, group),
+            ).fetchone()
+        return int(row[0])

@@ -1,0 +1,121 @@
+"""Worker node (aligner-web/src/bin/node/main.rs).
+
+Consumes alignment jobs and writes subtask results to the store.  The
+reference's node deserializes one Kafka message at a time and runs one
+heuristic local alignment per message (node/main.rs:49-88, calling the
+heuristic with del for both gap params — the AlignJob carries a single
+``del_value``).  This worker claims a *batch* of jobs and groups them by
+task hash, so each task's whole candidate-matrix population advances as
+one batched device launch per heuristic iteration
+(heuristic_align_population) — the TPU replacement for one-process-per-
+message.
+
+Failure semantics kept: at-least-once (lease redelivery instead of Kafka
+auto-commit), commit before the store write is *not* replicated — the
+reference commits the Kafka offset before inserting into the DB
+(node/main.rs:76-88), which can lose results on a crash; here jobs are
+committed only after their subtasks are stored, with one retry on store
+failure (matching the node's single reconnect-retry).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+
+import numpy as np
+
+from ..alphabet import Protein
+from ..heuristic import Heuristics, heuristic_align_population
+from .dispatcher import GROUP, TOPIC_JOBS
+from .models import AlignJob
+from .queue import JobQueue
+from .store import Store
+
+
+class Worker:
+    def __init__(
+        self,
+        store: Store | None = None,
+        queue: JobQueue | None = None,
+        name: str | None = None,
+        batch: int = 64,
+        backend: str | None = None,
+    ):
+        self.store = store or Store()
+        self.queue = queue or JobQueue()
+        self.name = self.queue.register_consumer(GROUP, name)
+        self.batch = batch
+        self.backend = backend
+
+    def process_batch(self) -> int:
+        """Claim and process up to ``batch`` jobs; returns jobs handled."""
+        self.queue.heartbeat(self.name, GROUP)
+        claimed = self.queue.claim_batch(
+            TOPIC_JOBS, self.name, GROUP, limit=self.batch
+        )
+        if not claimed:
+            return 0
+
+        by_task: dict[str, list[tuple[int, AlignJob]]] = defaultdict(list)
+        for job_id, payload in claimed:
+            job = AlignJob.from_json(payload)
+            by_task[job.hash].append((job_id, job))
+
+        for hash_, items in by_task.items():
+            jobs = [j for _, j in items]
+            ref = jobs[0]
+            mats = np.stack([j.matrix for j in jobs])
+            heur = Heuristics(
+                kd=ref.kd_value, r_squared=ref.r_squared_value,
+                frequencies=ref.frequences,
+            )
+            results = heuristic_align_population(
+                Protein.encode(ref.sequence_1, strict=False),
+                Protein.encode(ref.sequence_2, strict=False),
+                mats, ref.del_value, ref.del_value, heur,
+                backend=self.backend,
+            )
+            done_ids = []
+            for (job_id, _), res in zip(items, results):
+                qa, ta = res.alignment.render()
+                try:
+                    self.store.insert_align_subtask(
+                        hash_, res.alignment.f, res.matrix, qa, ta
+                    )
+                except Exception:
+                    # one retry on a fresh connection (node/main.rs:78-88)
+                    time.sleep(0.05)
+                    try:
+                        self.store.insert_align_subtask(
+                            hash_, res.alignment.f, res.matrix, qa, ta
+                        )
+                    except Exception:
+                        continue  # job stays claimed → redelivered on lease expiry
+                done_ids.append(job_id)
+            self.queue.commit(done_ids)
+        return len(claimed)
+
+    def run_forever(self, poll_interval: float = 0.5, max_batches: int | None = None):
+        n = 0
+        while max_batches is None or n < max_batches:
+            handled = self.process_batch()
+            if handled == 0:
+                time.sleep(poll_interval)
+            n += 1
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="aligner-node", description=__doc__)
+    ap.add_argument("--name", default=None)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--backend", default=None, choices=["oracle", "xla", "pallas"])
+    args = ap.parse_args(argv)
+    Worker(name=args.name, batch=args.batch, backend=args.backend).run_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -63,39 +63,40 @@ def _nn_edge(k: float, h: float, qlen: float, tl: np.ndarray) -> np.ndarray:
 
 
 def _estimate_k_and_lambda(qlen, tl, scores, old_k, old_lambda, h):
-    """Newton on λ + fixed-point k (statistics/mod.rs:125-189)."""
-    k, lam = old_k, old_lambda
-    n = float(len(tl))
-    nn = _nn_edge(k, h, qlen, tl)
-    e = np.exp(-lam * scores)
-    s = float((nn * e).sum())
-    ws = float((nn * scores * e).sum())
-    ssum = float(scores.sum())
-    for _ in range(MAXITER + 1):
-        with np.errstate(all="ignore"):
-            lam_f = 1.0 / lam - ssum / n + ws / s
+    """Newton on λ + fixed-point k (statistics/mod.rs:125-189).
+
+    All scalars are np.float64 so division by zero yields ±inf like Rust
+    f64 (caught by the is_finite guards) instead of raising."""
+    k, lam = np.float64(old_k), np.float64(old_lambda)
+    n = np.float64(len(tl))
+    with np.errstate(all="ignore"):
+        nn = _nn_edge(k, h, qlen, tl)
+        e = np.exp(-lam * scores)
+        s = (nn * e).sum()
+        ws = (nn * scores * e).sum()
+        ssum = scores.sum()
+        for _ in range(MAXITER + 1):
+            lam_f = np.float64(1.0) / lam - ssum / n + ws / s
             lam_fd = (
                 -(lam ** -2.0)
-                - float((nn * scores * scores * e).sum()) / s
+                - (nn * scores * scores * e).sum() / s
                 + (ws / s) ** 2
             )
-        if not (np.isfinite(lam_f) and np.isfinite(lam_fd)):
-            return k, lam
-        new_lam = lam - lam_f / lam_fd
-        # recomputed with the *old* λ — one-step-stale by construction
-        e = np.exp(-lam * scores)
-        s = float((nn * e).sum())
-        ws = float((nn * scores * e).sum())
-        with np.errstate(all="ignore"):
+            if not (np.isfinite(lam_f) and np.isfinite(lam_fd)):
+                return float(k), float(lam)
+            new_lam = lam - lam_f / lam_fd
+            # recomputed with the *old* λ — one-step-stale by construction
+            e = np.exp(-lam * scores)
+            s = (nn * e).sum()
+            ws = (nn * scores * e).sum()
             new_k = n / s
-        if not np.isfinite(new_k) or new_k <= 0.0:
-            return k, lam
-        k, lam = new_k, new_lam
-        if abs(lam_f) < THRESHOLD_LOCAL:
-            return k, lam
-        with np.errstate(all="ignore"):
+            if not np.isfinite(new_k) or new_k <= 0.0:
+                return float(k), float(lam)
+            k, lam = new_k, new_lam
+            if abs(lam_f) < THRESHOLD_LOCAL:
+                return float(k), float(lam)
             nn = _nn_edge(k, h, qlen, tl)
-    return k, lam
+    return float(k), float(lam)
 
 
 def _estimate_h(qlen, tl, scores, k, lam, old_h):
@@ -108,19 +109,18 @@ def _estimate_h(qlen, tl, scores, k, lam, old_h):
             a = 2.0 * l - qlen - tl
             b = 1.0 / nn - k * np.exp(-lam * scores)
             c = -l / h
-            h_g = float((a * b * c).sum())
-            h_gd = float(
-                (2.0 * b * c * c - (a * c / nn) ** 2 - 2.0 * a * b * c / h).sum()
-            )
+            h_g = (a * b * c).sum()
+            h_gd = (2.0 * b * c * c - (a * c / nn) ** 2 - 2.0 * a * b * c / h).sum()
         if abs(h_g) < THRESHOLD_LOCAL:
-            return h
+            return float(h)
         if h_gd > 0.0:
             h = h * 2.0 if h_g > 0.0 else h / 2.0
         elif h_g <= 0.0:
             h = h / 2.0
         else:
-            h = h - h_g / h_gd
-    return h
+            with np.errstate(all="ignore"):
+                h = h - h_g / h_gd
+    return float(h)
 
 
 def calculate_distribution_params(
@@ -133,20 +133,21 @@ def calculate_distribution_params(
         raise ValidationError("scores and target_lengths length mismatch")
 
     var = float(((scores - scores.mean()) ** 2).mean())  # central_moment(2)
-    if not np.isfinite(var) or var == 0.0:
+    if not np.isfinite(var):
         raise ValidationError("degenerate score distribution")
-    lam0 = 1.0 / var
+    with np.errstate(all="ignore"):
+        lam0 = float(np.float64(1.0) / np.float64(var))  # inf when var == 0, like Rust
     h = 1.0
     qlen = float(query_length)
     n = float(len(tl))
 
-    nn = qlen * tl
-    k0 = n / float((nn * np.exp(-lam0 * scores)).sum())
-
-    log_likelihood = float(
-        n * np.log(lam0 * k0)
-        + (np.log(nn) - lam0 * scores - k0 * nn * np.exp(-lam0 * scores)).sum()
-    )
+    with np.errstate(all="ignore"):
+        nn = qlen * tl
+        k0 = float(np.float64(n) / (nn * np.exp(-lam0 * scores)).sum())
+        log_likelihood = float(
+            n * np.log(lam0 * k0)
+            + (np.log(nn) - lam0 * scores - k0 * nn * np.exp(-lam0 * scores)).sum()
+        )
 
     active_tl = tl.copy()
     active_scores = scores.copy()
@@ -167,7 +168,9 @@ def calculate_distribution_params(
                     - k * nn * np.exp(-lam * scores)
                 ).sum()
             )
-        if abs(ll_new - log_likelihood) / log_likelihood < THRESHOLD_GLOBAL:
+        with np.errstate(all="ignore"):
+            rel = np.float64(abs(ll_new - log_likelihood)) / np.float64(log_likelihood)
+        if rel < THRESHOLD_GLOBAL:
             return DistributionParams(k, lam, h)
         log_likelihood = ll_new
 

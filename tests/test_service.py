@@ -1,0 +1,205 @@
+"""End-to-end service tests: validate → queue → worker → promote → p-value."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from aligner_tpu.service.dispatcher import (
+    Dispatcher,
+    GROUP,
+    TOPIC_JOBS,
+    generate_pairs,
+    serve,
+    symbol_frequencies,
+)
+from aligner_tpu.service.models import AlignJob, AlignJobRequest, task_hash
+from aligner_tpu.service.queue import JobQueue
+from aligner_tpu.service.store import Store, get_population
+from aligner_tpu.service.updater import run_once as updater_run
+from aligner_tpu.service.worker import Worker
+
+FASTA = """>seq1
+HEAGAWGHEE
+>seq2
+PAWHEAE
+>seq3
+HEAGAWGHEA
+"""
+
+REQ = {
+    "sequences": FASTA,
+    "kdValue": 0.0,
+    "rSquaredValue": 100.0,
+    "delValue": 5.0,
+    "dimValue": 24,
+    "matricesVolumeValue": 3,
+}
+
+
+@pytest.fixture
+def svc(tmp_path):
+    db = str(tmp_path / "svc.db")
+    store = Store(db)
+    queue = JobQueue(db)
+    return Dispatcher(store, queue, rng=np.random.default_rng(0)), store, queue
+
+
+def test_validate_creates_tasks_and_jobs(svc):
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    assert code == 200
+    assert len(resp["hashes"]) == 3  # all pairs of 3 sequences
+    assert queue.pending(TOPIC_JOBS) == 9  # 3 pairs x 3 matrices
+    # duplicate submission → no new tasks
+    code, resp = disp.validate(REQ)
+    assert code == 500
+
+
+def test_validate_errors(svc):
+    disp, _, _ = svc
+    code, resp = disp.validate({**REQ, "sequences": ">only_one\nAAAA\n"})
+    assert code == 400
+    code, resp = disp.validate({"bogus": 1})
+    assert code == 400
+
+
+def test_worker_processes_and_promotes(svc):
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    hashes = resp["hashes"]
+    w = Worker(store, queue, batch=16, backend="xla")
+    while queue.pending(TOPIC_JOBS) > 0:
+        assert w.process_batch() > 0 or queue.pending(TOPIC_JOBS) == 0
+    for h in hashes:
+        assert store.get_percentage_by_hash(h) == 100.0
+    # the snapshot reports 100% and promotes inline (handlers.rs:165-172);
+    # promotion deletes subtasks so later ticks read 0 — as in the reference
+    snap = disp.progress_snapshot(hashes)
+    assert all(v == 100.0 for v in snap["progress"].values())
+    assert updater_run(store) == 0  # everything already promoted inline
+    # promotion stored a result with the max f among subtasks
+    for h in hashes:
+        tid = store.get_task_id_by_hash(h)
+        row = store.get_result_matrix_by_task_id(tid)
+        assert row is not None
+        assert row[2] >= 0.0
+
+
+def test_calc_backfills_p_values(svc):
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    w = Worker(store, queue, batch=32, backend="xla")
+    while queue.pending(TOPIC_JOBS) > 0:
+        w.process_batch()
+    updater_run(store)
+    from aligner_tpu.cli.calc import run_once
+
+    n = run_once(store, rng=np.random.default_rng(0), backend="xla", n_sequences=60)
+    assert n == 3
+    # a degenerate fit can produce a NaN p-value (the reference's math does
+    # too); sqlite stores NaN as NULL so such tasks stay unfilled
+    assert len(store.get_ids_with_null_p_value()) <= 1
+
+
+def test_queue_lease_redelivery(tmp_path):
+    q = JobQueue(str(tmp_path / "q.db"))
+    q.produce(TOPIC_JOBS, "payload1")
+    a = q.claim_batch(TOPIC_JOBS, "c1", lease=0.0)  # expires immediately
+    assert len(a) == 1
+    b = q.claim_batch(TOPIC_JOBS, "c2")
+    assert len(b) == 1  # redelivered
+    q.commit([b[0][0]])
+    assert q.pending(TOPIC_JOBS) == 0
+
+
+def test_health_members(svc):
+    disp, store, queue = svc
+    queue.register_consumer(GROUP, "node-a")
+    health = disp.health_check()
+    assert {"consumerName": "node-a", "status": True} in health["nodes"]
+
+
+def test_population_threshold(tmp_path, rng):
+    store = Store(str(tmp_path / "p.db"))
+    mats = get_population(store, 24, 5, rng)
+    assert len(mats) == 5
+    from aligner_tpu.matrices import get_threshold
+
+    thr = get_threshold(24)
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert np.linalg.norm(mats[i] - mats[j]) >= thr
+    # persisted: fetching again returns the stored ones
+    again = get_population(store, 24, 5, rng)
+    assert all(np.array_equal(a, b) for a, b in zip(mats, again))
+
+
+def test_job_roundtrip_serialization(rng):
+    job = AlignJob(
+        sequence_1="HEAG", sequence_2="PAWH",
+        matrix=rng.random((4, 4)), frequences=rng.random(4),
+        kd_value=1.0, r_squared_value=2.0, del_value=3.0,
+        matrices_volume_value=4, hash="abc",
+    )
+    back = AlignJob.from_json(job.to_json())
+    assert np.array_equal(back.matrix, job.matrix)
+    assert np.array_equal(back.frequences, job.frequences)
+    assert back.hash == "abc"
+
+
+def test_http_server_end_to_end(svc):
+    disp, store, queue = svc
+    server = serve("127.0.0.1", 0, disp, sse_ticks=1)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health/check"
+        ) as r:
+            assert json.loads(r.read())["nodes"] == []
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/validate",
+            data=json.dumps(REQ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            hashes = json.loads(r.read())["hashes"]
+        assert len(hashes) == 3
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/progress?hashes={','.join(hashes)}"
+        ) as r:
+            line = r.readline().decode()
+            assert line.startswith("data: ")
+            snap = json.loads(line[6:])
+            assert set(snap["progress"].keys()) == set(hashes)
+    finally:
+        server.shutdown()
+
+
+def test_symbol_frequencies_deterministic():
+    f = symbol_frequencies("AARA", "RN", 24)
+    assert f[0] == 3 / 6  # A
+    assert f[1] == 2 / 6  # R
+    assert f[2] == 1 / 6  # N
+    assert f.sum() == pytest.approx(1.0)
+
+
+def test_blast_cmp(tmp_path, rng):
+    from aligner_tpu.service.blast_cmp import load_blast_results, run_cmp
+
+    db = str(tmp_path / "b.db")
+    store = Store(db)
+    queue = JobQueue(db)
+    disp = Dispatcher(store, queue, rng=rng)
+    disp.validate(REQ)  # gives align_tasks rows to resolve identifiers from
+    csvp = tmp_path / "blast.csv"
+    csvp.write_text("seq1,seq2,0|005\n".replace("|", ","))
+    assert load_blast_results(store, str(csvp)) == 1
+    n = run_cmp(store, rng=np.random.default_rng(0), backend="xla", n_sequences=60)
+    assert n == 1
+    rows = store.get_cmp_table()
+    assert rows[0][4] is not None and 0.0 <= rows[0][4] <= 1.0
