@@ -117,7 +117,7 @@ def align_global(
     t = _encode(target, alphabet)
     if len(q) == 0 or len(t) == 0:
         raise ResultIsEmpty("empty sequence")
-    backend = pick_backend(backend)
+    backend = pick_backend(backend, cells=len(q) * len(t))
     if backend == "oracle":
         r = oracle.align_global(q, t, np.asarray(matrix), del_, ext)
         aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)
@@ -161,7 +161,7 @@ def align_local(
     t = _encode(target, alphabet)
     if len(q) == 0 or len(t) == 0:
         raise ResultIsEmpty("empty sequence")
-    backend = pick_backend(backend)
+    backend = pick_backend(backend, cells=len(q) * len(t))
     if backend == "oracle":
         r = oracle.align_local(q, t, np.asarray(matrix), del_, ext)
         aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)
@@ -204,7 +204,7 @@ def align_pwm(
     if pwm.shape[0] != 4:
         raise MatrixShapeError(f"PWM must have 4 rows, got {pwm.shape[0]}")
     q = _encode(query, alphabet)
-    backend = pick_backend(backend)
+    backend = pick_backend(backend, cells=len(q) * pwm.shape[1])
     if backend == "oracle":
         r = oracle.align_pwm(q, pwm, del_, ext)
         aln = PWMAlignment(

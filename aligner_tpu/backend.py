@@ -16,9 +16,31 @@ in f32 for integer matrices) and float64 on CPU when x64 is enabled.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# ALIGNER_PLATFORM=cpu forces the CPU backend even when a TPU platform
+# plugin registered itself with higher priority (such plugins can override
+# the JAX_PLATFORMS environment variable).
+_forced = os.environ.get("ALIGNER_PLATFORM")
+if _forced:
+    jax.config.update("jax_platforms", _forced)
+
+# Persistent compilation cache: DP-fill kernels recompile per (shape,
+# params) tuple; caching them across processes matters when device
+# compilation is remote.  Opt out with ALIGNER_NO_COMPILE_CACHE=1.
+if not os.environ.get("ALIGNER_NO_COMPILE_CACHE"):
+    _cache = os.environ.get(
+        "ALIGNER_COMPILE_CACHE", os.path.expanduser("~/.cache/jax-aligner")
+    )
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 @functools.cache
@@ -36,9 +58,20 @@ def default_dtype() -> jnp.dtype:
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-def pick_backend(backend: str | None = None) -> str:
-    """Resolve a backend name; ``None``/"auto" → pallas on TPU, xla off."""
+# Below this many DP cells a single problem runs faster on the scalar
+# oracle than the device round-trip + compile; batch paths ignore this.
+SMALL_PROBLEM_CELLS = 64 * 64
+
+
+def pick_backend(backend: str | None = None, cells: int | None = None) -> str:
+    """Resolve a backend name; ``None``/"auto" → pallas on TPU, xla off.
+
+    ``cells`` (problem area) lets single-pair entry points route tiny
+    problems to the scalar oracle — identical results, no device launch.
+    """
     if backend in (None, "auto"):
+        if cells is not None and cells <= SMALL_PROBLEM_CELLS:
+            return "oracle"
         return "pallas" if on_tpu() else "xla"
     if backend not in ("oracle", "xla", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
