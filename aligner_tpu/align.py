@@ -21,7 +21,7 @@ from typing import Sequence
 
 import numpy as np
 
-from . import oracle
+from . import host, oracle
 from .alphabet import DNA, Alphabet, Protein
 from .backend import default_dtype, pick_backend
 from .errors import MatrixShapeError, ResultIsEmpty, UnnecessaryArgument, ValidationError
@@ -119,7 +119,7 @@ def align_global(
         raise ResultIsEmpty("empty sequence")
     backend = pick_backend(backend, cells=len(q) * len(t))
     if backend == "oracle":
-        r = oracle.align_global(q, t, np.asarray(matrix), del_, ext)
+        r = host.align_global(q, t, np.asarray(matrix), del_, ext)
         aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)
         return AlignmentResult(
             aln,
@@ -163,7 +163,7 @@ def align_local(
         raise ResultIsEmpty("empty sequence")
     backend = pick_backend(backend, cells=len(q) * len(t))
     if backend == "oracle":
-        r = oracle.align_local(q, t, np.asarray(matrix), del_, ext)
+        r = host.align_local(q, t, np.asarray(matrix), del_, ext)
         aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)
         return AlignmentResult(
             aln,
@@ -206,7 +206,7 @@ def align_pwm(
     q = _encode(query, alphabet)
     backend = pick_backend(backend, cells=len(q) * pwm.shape[1])
     if backend == "oracle":
-        r = oracle.align_pwm(q, pwm, del_, ext)
+        r = host.align_pwm(q, pwm, del_, ext)
         aln = PWMAlignment(
             r.target_aligned.astype(np.int32), r.query_aligned,
             pwm.shape[1], r.coords, r.f, alphabet,
@@ -262,6 +262,44 @@ def batch_align(
             fx=np.asarray(res.fx), end=np.asarray(res.end),
         )
     dirs = np.asarray(res.dirs)
+    from . import native
+
+    if native.available():
+        # one C call walks the whole batch (native/aligner_native.cpp)
+        if mode == "global":
+            sy, sx = tl.astype(np.int64), ql.astype(np.int64)
+        else:
+            fy, fx = np.asarray(res.fy), np.asarray(res.fx)
+            if ((fy == 0) | (fx == 0)).any():
+                raise ResultIsEmpty(
+                    "local alignment has no positive-scoring cell"
+                )
+            sy, sx = fy.astype(np.int64), fx.astype(np.int64)
+        q8 = q.astype(np.int8)
+        t8 = t.astype(np.int8)
+        walks_q, walks_t, end_y, end_x = native.traceback_batch(
+            dirs, sy, sx, q8, t8, pwm_mode=False
+        )
+        out = []
+        for b in range(len(qs)):
+            # the seeded character pair lands *after* the reversed walk
+            # (simple/mod.rs:99-106/213-218)
+            if mode == "global":
+                qa = np.append(walks_q[b], np.int16(qs[b][-1]))
+                ta = np.append(walks_t[b], np.int16(ts[b][-1]))
+                coords = ((1, int(ql[b])), (1, int(tl[b])))
+                f = 0.0
+            else:
+                qa = np.append(walks_q[b], np.int16(qs[b][sx[b] - 1]))
+                ta = np.append(walks_t[b], np.int16(ts[b][sy[b] - 1]))
+                coords = (
+                    (int(end_x[b]) + 1, int(sx[b]) + 1),
+                    (int(end_y[b]) + 1, int(sy[b]) + 1),
+                )
+                f = float(res.fmax[b])
+            out.append(AlignmentResult(Alignment(qa, ta, coords, f, alphabet)))
+        return out
+
     out = []
     for b in range(len(qs)):
         d = dirs[b, : tl[b] + 1, : ql[b] + 1]

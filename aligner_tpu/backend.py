@@ -58,20 +58,30 @@ def default_dtype() -> jnp.dtype:
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-# Below this many DP cells a single problem runs faster on the scalar
-# oracle than the device round-trip + compile; batch paths ignore this.
+# Below this many DP cells a single problem runs faster on the host than
+# the device round-trip + compile; batch paths ignore this.  With the C++
+# scalar engine available the host wins far longer than pure Python does.
 SMALL_PROBLEM_CELLS = 64 * 64
+SMALL_PROBLEM_CELLS_NATIVE = 768 * 768
 
 
 def pick_backend(backend: str | None = None, cells: int | None = None) -> str:
     """Resolve a backend name; ``None``/"auto" → pallas on TPU, xla off.
 
-    ``cells`` (problem area) lets single-pair entry points route tiny
-    problems to the scalar oracle — identical results, no device launch.
+    ``cells`` (problem area) lets single-pair entry points route small
+    problems to the host engine — identical results, no device launch.
     """
     if backend in (None, "auto"):
-        if cells is not None and cells <= SMALL_PROBLEM_CELLS:
-            return "oracle"
+        if cells is not None:
+            from . import native
+
+            limit = (
+                SMALL_PROBLEM_CELLS_NATIVE
+                if native.available()
+                else SMALL_PROBLEM_CELLS
+            )
+            if cells <= limit:
+                return "oracle"
         return "pallas" if on_tpu() else "xla"
     if backend not in ("oracle", "xla", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
