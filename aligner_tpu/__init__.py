@@ -29,6 +29,8 @@ from .matrices import (
 )
 from .result import Alignment, AlignmentResult, PWMAlignment
 from . import align, heuristic, statistics  # noqa: E402
+from . import native, observability, search  # noqa: E402
+from .search import SearchHit, search_database
 from .align import (
     PWMAligner,
     SimpleGlobalAligner,
@@ -52,6 +54,11 @@ from .statistics import DistributionParams, calculate_distribution_params, calcu
 __version__ = "0.1.0"
 
 __all__ = [
+    "native",
+    "observability",
+    "search",
+    "SearchHit",
+    "search_database",
     "align",
     "heuristic",
     "statistics",

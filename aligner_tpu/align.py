@@ -54,36 +54,51 @@ def pad_batch(
 def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype):
     import jax.numpy as jnp
 
-    if backend == "pallas":
-        from .ops.pallas_dp import fill_batch_pallas
+    from .observability import measure
 
-        return fill_batch_pallas(
-            q, ql, t, tl, matrix, del_, ext, mode=mode,
-            with_planes=with_planes, dtype=dtype,
-        )
-    from .ops.scan_engine import fill_batch
+    cells = int((np.asarray(ql, np.int64) * np.asarray(tl, np.int64)).sum())
+    with measure(f"{backend}/{mode}", cells, len(ql)):
+        if backend == "pallas":
+            from .ops.pallas_dp import fill_batch_pallas
 
-    return fill_batch(
-        q, ql, t, tl, jnp.asarray(matrix, dtype), del_, ext,
-        mode=mode, with_planes=with_planes, dtype=dtype,
-    )
+            res = fill_batch_pallas(
+                q, ql, t, tl, matrix, del_, ext, mode=mode,
+                with_planes=with_planes, dtype=dtype,
+            )
+        else:
+            from .ops.scan_engine import fill_batch
+
+            res = fill_batch(
+                q, ql, t, tl, jnp.asarray(matrix, dtype), del_, ext,
+                mode=mode, with_planes=with_planes, dtype=dtype,
+            )
+        res.fmax.block_until_ready()
+    return res
 
 
 def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype):
     import jax.numpy as jnp
 
-    if backend == "pallas":
-        from .ops.pallas_dp import fill_pwm_batch_pallas
+    from .observability import measure
 
-        return fill_pwm_batch_pallas(
-            q, ql, pwm, del_, ext, with_planes=with_planes, dtype=dtype
-        )
-    from .ops.scan_engine import fill_pwm_batch
+    width = np.asarray(pwm).shape[-1]
+    cells = int(np.asarray(ql, np.int64).sum()) * int(width)
+    with measure(f"{backend}/pwm", cells, len(ql)):
+        if backend == "pallas":
+            from .ops.pallas_dp import fill_pwm_batch_pallas
 
-    return fill_pwm_batch(
-        q, ql, jnp.asarray(pwm, dtype), del_, ext,
-        with_planes=with_planes, dtype=dtype,
-    )
+            res = fill_pwm_batch_pallas(
+                q, ql, pwm, del_, ext, with_planes=with_planes, dtype=dtype
+            )
+        else:
+            from .ops.scan_engine import fill_pwm_batch
+
+            res = fill_pwm_batch(
+                q, ql, jnp.asarray(pwm, dtype), del_, ext,
+                with_planes=with_planes, dtype=dtype,
+            )
+        res.fmax.block_until_ready()
+    return res
 
 
 @dataclasses.dataclass

@@ -1,0 +1,112 @@
+"""One-vs-many database search: query vs FASTA database, top-k scores.
+
+BASELINE.json config #4.  The database shards into length buckets (padding
+waste is bounded by the bucket growth factor), every bucket runs as one
+scores-only batched launch, and only the top-k hits pay for a full
+(plane + traceback) pass.  On a mesh, buckets shard over the ``data``
+axis (parallel.sharded_scores).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from .align import batch_align
+from .alphabet import Alphabet, Protein
+from .errors import ValidationError
+
+
+@dataclasses.dataclass
+class SearchHit:
+    index: int  # position in the database
+    name: str
+    score: float
+    coords: tuple | None = None
+    query_aligned: np.ndarray | None = None
+    target_aligned: np.ndarray | None = None
+
+
+def length_buckets(
+    lengths: Sequence[int], growth: float = 1.3, min_size: int = 64
+) -> list[np.ndarray]:
+    """Group database indices into geometric length buckets.
+
+    Each bucket's padded width is at most ``growth``x its shortest member,
+    so padding waste is bounded; tiny buckets merge upward to keep launch
+    counts low.
+    """
+    order = np.argsort(lengths)
+    buckets: list[list[int]] = []
+    cur: list[int] = []
+    cur_min = None
+    for i in order:
+        ln = max(int(lengths[i]), 1)
+        if cur_min is None:
+            cur_min = ln
+        if ln > cur_min * growth and len(cur) >= min_size:
+            buckets.append(cur)
+            cur, cur_min = [], ln
+        cur.append(int(i))
+    if cur:
+        buckets.append(cur)
+    return [np.array(b, dtype=np.int64) for b in buckets]
+
+
+def search_database(
+    query,
+    database: Sequence,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    k: int = 10,
+    names: Sequence[str] | None = None,
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+    mode: str = "local",
+    with_alignments: bool = True,
+    bucket_growth: float = 1.3,
+) -> list[SearchHit]:
+    """Align ``query`` against every database sequence; return top-k hits.
+
+    Scores for the whole database come from bucketed scores-only launches;
+    alignments (traceback) are computed only for the k winners.
+    """
+    from .align import _encode
+
+    if k <= 0:
+        raise ValidationError("k must be positive")
+    q = _encode(query, alphabet)
+    db = [_encode(s, alphabet) for s in database]
+    if not db:
+        raise ValidationError("empty database")
+    names = list(names) if names is not None else [str(i) for i in range(len(db))]
+    lengths = [len(s) for s in db]
+
+    scores = np.full(len(db), -np.inf)
+    for bucket in length_buckets(lengths, growth=bucket_growth):
+        targets = [db[i] for i in bucket]
+        res = batch_align(
+            [q] * len(bucket), targets, matrix, del_, ext,
+            mode=mode, alphabet=alphabet, backend=backend,
+        )
+        scores[bucket] = res.fmax if mode == "local" else res.end
+
+    top = np.argsort(-scores, kind="stable")[:k]
+    hits = [
+        SearchHit(index=int(i), name=names[int(i)], score=float(scores[i]))
+        for i in top
+    ]
+    if with_alignments:
+        results = batch_align(
+            [q] * len(hits), [db[h.index] for h in hits], matrix, del_, ext,
+            mode=mode, alphabet=alphabet, backend=backend, with_alignments=True,
+        )
+        for h, r in zip(hits, results):
+            h.coords = r.alignment.coords
+            h.query_aligned = r.alignment.query
+            h.target_aligned = r.alignment.target
+    return hits
