@@ -195,8 +195,21 @@ def _kernel(
         ev = jnp.where(active & (y1 == tlen) & (x1 == qlen), m, ev)
         return (val, pen, left_v, bv, by, bx, ev)
 
+    # Unroll the cell loop: each cell's ~6-op dependent chain (max → dir →
+    # penalty → next top) is latency-bound at small BS; unrolling amortizes
+    # loop overhead and lets off-chain work (scores, argmax tracking,
+    # stores) fill the latency slots.  R is padded to a multiple of UNROLL
+    # by the wrapper; masking keeps padded rows inert.
+    UNROLL = 8
+    assert R % UNROLL == 0, "wrapper must pad R to a multiple of UNROLL"
+
+    def block(base, carry):
+        for j in range(UNROLL):
+            carry = body(base * UNROLL + 1 + j, carry)
+        return carry
+
     (_, pen, _, bv, by, bx, ev) = lax.fori_loop(
-        1, R + 1, body, (border0, pen0, diag0, *best0, end0)
+        0, R // UNROLL, block, (border0, pen0, diag0, *best0, end0)
     )
     penb_ref[:] = pen
     fmax_ref[0] = bv
@@ -411,6 +424,9 @@ def fill_batch_pallas(
     matrix = np.asarray(matrix)
     B, C = q.shape
     R = t.shape[1]
+    if R % 8:  # kernel unrolls the row loop by 8
+        t = np.pad(t, ((0, 0), (0, 8 - R % 8)))
+        R = t.shape[1]
     batched_mat = matrix.ndim == 3
     V = matrix.shape[-1]
     BS = min(_pick_bs(R, C, V, with_planes, batched_mat), max(1, _cdiv(B, LANES)))
@@ -460,6 +476,9 @@ def fill_pwm_batch_pallas(
     qlen = np.asarray(qlen, np.int32)
     pwm = np.asarray(pwm)
     B, R = q.shape
+    if R % 8:  # kernel unrolls the row loop by 8
+        q = np.pad(q, ((0, 0), (0, 8 - R % 8)))
+        R = q.shape[1]
     batched_mat = pwm.ndim == 3
     W = pwm.shape[-1]
     BS = min(_pick_bs(R, W, 4, with_planes, batched_mat), max(1, _cdiv(B, LANES)))
