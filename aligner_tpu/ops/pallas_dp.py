@@ -56,6 +56,7 @@ def _kernel(
     BS: int,
     mode: str,
     batched_mat: bool,
+    packed_lut: bool,
     with_planes: bool,
     del_: float,
     ext: float,
@@ -117,7 +118,39 @@ def _kernel(
 
     # --- score column: s[y] = matrix[t[y], q[x]] (or pwm[t[y], x]) ---
     tall = t_ref[:]  # (R, BS, 128) i32
-    if mode == "pwm":
+    if packed_lut:
+        # Integral shared matrix (|entries| <= 127): build the per-column
+        # LUT as int32, pack 4 biased bytes per word, and extract per cell
+        # with a variable shift — ~19 int ops/cell instead of 2V float ops
+        # (docs/PERF_NOTES.md #1).  mat_ref holds int32 entries here.
+        qx = q_ref[0]  # (BS, 128) i32
+        ohs_i = [(qx == j).astype(jnp.int32) for j in range(V)]
+        lut_i = [
+            functools.reduce(
+                lambda a, b: a + b,
+                [mat_ref[v, j] * ohs_i[j] for j in range(V)],
+            )
+            for v in range(V)
+        ]
+        n_words = _cdiv(V, 4)
+        packed = []
+        for g in range(n_words):
+            w = jnp.zeros((BS, LANES), jnp.int32)
+            for k in range(4):
+                v = 4 * g + k
+                if v < V:
+                    w = w + ((lut_i[v] + 128) << (8 * k))
+            packed.append(w)
+        grp = tall >> 2
+        for g in range(n_words):
+            term = packed[g][None] * (grp == g).astype(jnp.int32)
+            if g == 0:
+                scol_ref[:] = term
+            else:
+                scol_ref[:] = scol_ref[:] + term
+        sh = (tall & 3) << 3
+        scol_ref[:] = ((scol_ref[:] >> sh) & 255) - 128
+    elif mode == "pwm":
         if batched_mat:
             luts = [mat_ref[v * C + x] for v in range(V)]
         else:
@@ -141,16 +174,17 @@ def _kernel(
                 )
                 for v in range(V)
             ]
-    # accumulate in place so at most two (R, BS, 128) temporaries are live
-    # (a single reduce expression overflows scoped VMEM for V=24)
-    for v in range(V):
-        term = jnp.broadcast_to(
-            jnp.asarray(luts[v], dtype), (R, BS, LANES)
-        ) * (tall == v).astype(dtype)
-        if v == 0:
-            scol_ref[:] = term
-        else:
-            scol_ref[:] = scol_ref[:] + term
+    if not packed_lut:
+        # accumulate in place so at most two (R, BS, 128) temporaries are
+        # live (a single reduce expression overflows scoped VMEM for V=24)
+        for v in range(V):
+            term = jnp.broadcast_to(
+                jnp.asarray(luts[v], dtype), (R, BS, LANES)
+            ) * (tall == v).astype(dtype)
+            if v == 0:
+                scol_ref[:] = term
+            else:
+                scol_ref[:] = scol_ref[:] + term
 
     # the column buffer is updated in place: each cell reads the previous
     # column's value before overwriting it and carries it as the next
@@ -167,6 +201,8 @@ def _kernel(
         a_up, pen, diag_prev, bv, by, bx, ev = carry
         left_v = colbuf_ref[y1]
         s = scol_ref[y1 - 1]
+        if packed_lut:
+            s = s.astype(dtype)
         top = a_up - pen
         left = left_v - pen
         diag = diag_prev + s
@@ -251,7 +287,9 @@ def _seq_operand(a4):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "with_planes", "dtype", "interpret", "del_", "ext"),
+    static_argnames=(
+        "mode", "with_planes", "dtype", "interpret", "del_", "ext", "packed_lut",
+    ),
 )
 def _run(
     q4,  # (NB*C, BS, 128) i32 or None-like placeholder
@@ -266,6 +304,7 @@ def _run(
     with_planes: bool,
     dtype,
     interpret: bool,
+    packed_lut: bool = False,
 ):
     BS = t4.shape[1]
     NB = tlen4.shape[0]
@@ -336,14 +375,15 @@ def _run(
 
     scratch = [
         pltpu.VMEM((R + 1, BS, LANES), dtype),  # colbuf (in-place)
-        pltpu.VMEM((R, BS, LANES), dtype),  # scol
+        pltpu.VMEM((R, BS, LANES), jnp.int32 if packed_lut else dtype),  # scol
         pltpu.VMEM((BS, LANES), dtype),  # pen
     ]
 
     kernel = functools.partial(
         _wrapped_kernel,
         C=C, R=R, V=V, BS=BS, mode=mode, batched_mat=batched_mat,
-        with_planes=with_planes, del_=float(del_), ext=float(ext), dtype=dtype,
+        packed_lut=packed_lut, with_planes=with_planes,
+        del_=float(del_), ext=float(ext), dtype=dtype,
     )
     return pl.pallas_call(
         kernel,
@@ -437,16 +477,25 @@ def fill_batch_pallas(
     # length 0 for padding problems → fully inactive
     qlen4 = jnp.asarray(_to_tiles(qlen, NB, BS, ()))
     tlen4 = jnp.asarray(_to_tiles(tlen, NB, BS, ()))
+    packed_lut = False
     if batched_mat:
         m4 = _seq_operand(_to_tiles(matrix.reshape(B, V * V), NB, BS, (V * V,)))
         m4 = m4.astype(dtype)
     else:
-        m4 = jnp.asarray(matrix, dtype)
+        # integral entries within int8 range → packed-LUT fast path
+        packed_lut = bool(
+            np.all(matrix == np.round(matrix)) and np.abs(matrix).max() <= 127
+        )
+        m4 = jnp.asarray(
+            np.round(matrix).astype(np.int32) if packed_lut else matrix,
+            jnp.int32 if packed_lut else dtype,
+        )
 
     interpret = not on_tpu()
     outs = _run(
         q4, t4, qlen4, tlen4, m4, float(del_), float(ext),
         mode=mode, with_planes=with_planes, dtype=dtype, interpret=interpret,
+        packed_lut=packed_lut,
     )
     fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
     plane = dirs = None

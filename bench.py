@@ -116,7 +116,9 @@ def tpu_gcups() -> tuple[float, str]:
         t4 = jax.device_put(P._seq_operand(P._to_tiles(t, NB, BS, (L,))))
         ql4 = jax.device_put(jnp.asarray(P._to_tiles(ql, NB, BS, ())))
         tl4 = jax.device_put(jnp.asarray(P._to_tiles(tl, NB, BS, ())))
-        m4 = jax.device_put(jnp.asarray(M, jnp.float32))
+        # BLOSUM62 is integral → the packed-LUT fast path (what
+        # fill_batch_pallas auto-selects for it)
+        m4 = jax.device_put(jnp.asarray(np.round(M).astype(np.int32)))
 
         @jax.jit
         def bench(q4, t4, ql4, tl4, m4):
@@ -126,6 +128,7 @@ def tpu_gcups() -> tuple[float, str]:
                 out = P._run(
                     q4, ti, ql4, tl4, m4, 11.0, 2.0, mode="local",
                     with_planes=False, dtype=jnp.float32, interpret=False,
+                    packed_lut=True,
                 )
                 acc = acc + out[0][0, 0, 0]
             return acc
