@@ -144,10 +144,22 @@ class Alphabet:
         raw = np.frombuffer(
             seq.encode() if isinstance(seq, str) else bytes(seq), dtype=np.uint8
         )
+        vol = cls.volume()
+        if len(raw) >= 1 << 16:
+            # chromosome-scale inputs: single-pass C++ encoder
+            from . import native
+
+            if native.available():
+                codes, ncounts, nidx = native.encode(raw, cls._enc_lut, vol)
+                freqs = ncounts.astype(np.float64) / max(len(codes), 1)
+                indices = [
+                    Index(coord=int(c), offset=int(o), local_offset=int(l))
+                    for (c, o, l) in reversed(nidx)
+                ]
+                return codes, freqs, indices
         lut = cls._enc_lut[raw]
         valid = lut != _SENTINEL
         codes = lut[valid]
-        vol = cls.volume()
         counts = np.bincount(codes[codes < vol], minlength=vol).astype(np.float64)
         freqs = counts / max(len(codes), 1)
 

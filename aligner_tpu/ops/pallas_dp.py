@@ -554,3 +554,96 @@ def fill_pwm_batch_pallas(
             jnp.full(B, W, jnp.int32), jnp.asarray(qlen), "local", float(del_), dtype,
         )
     return FillResult(plane=plane, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
+
+
+def _to_tiles_traced(a, NB: int, BS: int):
+    """jnp version of _to_tiles for use under jit/shard_map: (B, L) →
+    (NB*L, BS, 128) sequence-operand layout (or (NB, BS, 128) for 1-D)."""
+    B = a.shape[0]
+    pad = NB * BS * LANES - B
+    if a.ndim == 1:
+        a = jnp.pad(a, (0, pad))
+        return a.reshape(NB, BS, LANES)
+    L = a.shape[1]
+    a = jnp.pad(a, ((0, pad), (0, 0)))
+    a = a.reshape(NB, BS, LANES, L)
+    return jnp.transpose(a, (0, 3, 1, 2)).reshape(NB * L, BS, LANES)
+
+
+def fill_scores_traced(
+    q,
+    qlen,
+    t,
+    tlen,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    mode: str = "local",
+    dtype=jnp.float32,
+    packed_lut: bool = False,
+    bs: int | None = None,
+    interpret: bool | None = None,
+):
+    """Scores-only pallas fill, fully traceable (no host numpy) — for use
+    inside jit/shard_map, one kernel per device shard.
+
+    ``packed_lut`` must be decided by the caller (the matrix is traced
+    here, so its values cannot be inspected); pass an int32 matrix with
+    it.  Returns (fmax, fy, fx, end) each of shape (B,).
+    """
+    q = jnp.asarray(q, jnp.int32)
+    t = jnp.asarray(t, jnp.int32)
+    B, C = q.shape
+    R = t.shape[1]
+    if R % 8:
+        t = jnp.pad(t, ((0, 0), (0, 8 - R % 8)))
+        R = t.shape[1]
+    V = matrix.shape[-1]
+    BS = bs or min(_pick_bs(R, C, V, False, False), max(1, _cdiv(B, LANES)))
+    NB = _cdiv(B, BS * LANES)
+    q4 = _to_tiles_traced(q, NB, BS)
+    t4 = _to_tiles_traced(t, NB, BS)
+    ql4 = _to_tiles_traced(jnp.asarray(qlen, jnp.int32), NB, BS)
+    tl4 = _to_tiles_traced(jnp.asarray(tlen, jnp.int32), NB, BS)
+    if interpret is None:
+        interpret = not on_tpu()
+    outs = _run(
+        q4, t4, ql4, tl4, matrix, float(del_), float(ext),
+        mode=mode, with_planes=False, dtype=dtype, interpret=interpret,
+        packed_lut=packed_lut,
+    )
+    return tuple(o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
+
+
+def fill_pwm_scores_traced(
+    q,
+    qlen,
+    pwm,
+    del_: float,
+    ext: float,
+    *,
+    dtype=jnp.float32,
+    packed_lut: bool = False,
+    bs: int | None = None,
+    interpret: bool | None = None,
+):
+    """Traceable scores-only PWM fill (shared PWM) for jit/shard_map."""
+    q = jnp.asarray(q, jnp.int32)
+    B, R = q.shape
+    if R % 8:
+        q = jnp.pad(q, ((0, 0), (0, 8 - R % 8)))
+        R = q.shape[1]
+    W = pwm.shape[-1]
+    BS = bs or min(_pick_bs(R, W, 4, False, False), max(1, _cdiv(B, LANES)))
+    NB = _cdiv(B, BS * LANES)
+    t4 = _to_tiles_traced(q, NB, BS)
+    tl4 = _to_tiles_traced(jnp.asarray(qlen, jnp.int32), NB, BS)
+    if interpret is None:
+        interpret = not on_tpu()
+    outs = _run(
+        None, t4, None, tl4, pwm, float(del_), float(ext),
+        mode="pwm", with_planes=False, dtype=dtype, interpret=interpret,
+        packed_lut=packed_lut,
+    )
+    return tuple(o.reshape(NB * BS * LANES)[:B] for o in outs[:4])

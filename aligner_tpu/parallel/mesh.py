@@ -25,7 +25,19 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..backend import on_tpu
 from ..ops.scan_engine import fill_batch, fill_pwm_batch
+
+
+def _integral(matrix) -> bool:
+    m = np.asarray(matrix)
+    return bool(np.all(m == np.round(m)) and np.abs(m).max() <= 127)
+
+
+def _resolve_engine(engine: str | None) -> str:
+    if engine in (None, "auto"):
+        return "pallas" if on_tpu() else "xla"
+    return engine
 
 
 def make_mesh(
@@ -60,15 +72,22 @@ def sharded_scores(
     *,
     mode: str = "local",
     dtype=jnp.float32,
+    engine: str | None = None,
 ):
     """Scores-only batched fill with problems sharded over ``data``.
 
     The matrix is replicated; per-problem outputs come back sharded the
     same way.  Batch size must be divisible by the data-axis size (pad
-    with zero-length problems).
+    with zero-length problems).  ``engine`` picks the per-device kernel:
+    pallas on TPU, the XLA scan engine elsewhere.
     """
     data_ax = mesh.axis_names[0]
-    matrix = jnp.asarray(matrix, dtype)
+    engine = _resolve_engine(engine)
+    packed = engine == "pallas" and _integral(matrix)
+    matrix = jnp.asarray(
+        np.round(np.asarray(matrix)).astype(np.int32) if packed else matrix,
+        jnp.int32 if packed else dtype,
+    )
 
     @functools.partial(
         shard_map,
@@ -78,6 +97,13 @@ def sharded_scores(
         check_vma=False,
     )
     def step(qs, qls, ts, tls, mat):
+        if engine == "pallas":
+            from ..ops.pallas_dp import fill_scores_traced
+
+            return fill_scores_traced(
+                qs, qls, ts, tls, mat, del_, ext,
+                mode=mode, dtype=dtype, packed_lut=packed,
+            )
         r = fill_batch(
             qs, qls, ts, tls, mat, del_, ext,
             mode=mode, with_planes=False, dtype=dtype,
@@ -99,6 +125,7 @@ def window_scan_step(
     ext: float,
     *,
     dtype=jnp.float32,
+    engine: str | None = None,
 ):
     """One repeat-search scan: PWM-align every window, z-score globally.
 
@@ -107,6 +134,7 @@ def window_scan_step(
     streamed thread results; here it is one collective).
     """
     data_ax = mesh.axis_names[0]
+    engine = _resolve_engine(engine)
     pwm = jnp.asarray(pwm, dtype)
 
     @functools.partial(
@@ -117,16 +145,26 @@ def window_scan_step(
         check_vma=False,
     )
     def step(ws, wls, mat):
-        r = fill_pwm_batch(ws, wls, mat, del_, ext, with_planes=False, dtype=dtype)
+        if engine == "pallas":
+            from ..ops.pallas_dp import fill_pwm_scores_traced
+
+            fmax, fy, fx, end = fill_pwm_scores_traced(
+                ws, wls, mat, del_, ext, dtype=dtype
+            )
+        else:
+            r = fill_pwm_batch(
+                ws, wls, mat, del_, ext, with_planes=False, dtype=dtype
+            )
+            fmax = r.fmax
         active = (wls > 0).astype(dtype)
         n = jax.lax.psum(jnp.sum(active), data_ax)
-        s1 = jax.lax.psum(jnp.sum(r.fmax * active), data_ax)
-        s2 = jax.lax.psum(jnp.sum(r.fmax * r.fmax * active), data_ax)
+        s1 = jax.lax.psum(jnp.sum(fmax * active), data_ax)
+        s2 = jax.lax.psum(jnp.sum(fmax * fmax * active), data_ax)
         mean = s1 / n
         var = s2 / n - mean * mean
         std = jnp.sqrt(jnp.maximum(var, 0.0))
-        z = (r.fmax - mean) / jnp.maximum(std, jnp.finfo(dtype).tiny)
-        return r.fmax, z, mean[None], std[None]
+        z = (fmax - mean) / jnp.maximum(std, jnp.finfo(dtype).tiny)
+        return fmax, z, mean[None], std[None]
 
     scores, z, mean, std = step(
         jnp.asarray(windows, jnp.int32), jnp.asarray(wlen, jnp.int32), pwm
