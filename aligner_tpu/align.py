@@ -51,7 +51,8 @@ def pad_batch(
     return out, lens
 
 
-def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype):
+def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
+          track_argmax=True):
     import jax.numpy as jnp
 
     from .observability import measure
@@ -64,6 +65,7 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype):
             res = fill_batch_pallas(
                 q, ql, t, tl, matrix, del_, ext, mode=mode,
                 with_planes=with_planes, dtype=dtype,
+                track_argmax=track_argmax,
             )
         else:
             from .ops.scan_engine import fill_batch
@@ -251,6 +253,7 @@ def batch_align(
     backend: str | None = None,
     dtype=None,
     with_alignments: bool = False,
+    track_argmax: bool = True,
 ):
     """Batched alignment of N independent (query, target) pairs.
 
@@ -270,7 +273,8 @@ def batch_align(
     if backend == "oracle":
         backend = "xla"  # the batch path is device-only; oracle covers singles
     dtype = dtype or default_dtype()
-    res = _fill(q, ql, t, tl, matrix, del_, ext, mode, with_alignments, backend, dtype)
+    res = _fill(q, ql, t, tl, matrix, del_, ext, mode, with_alignments,
+                backend, dtype, track_argmax=track_argmax or with_alignments)
     if not with_alignments:
         return BatchScores(
             fmax=np.asarray(res.fmax), fy=np.asarray(res.fy),

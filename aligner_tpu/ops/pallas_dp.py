@@ -57,6 +57,8 @@ def _kernel(
     mode: str,
     batched_mat: bool,
     packed_lut: bool,
+    dense: bool,
+    track_argmax: bool,
     with_planes: bool,
     del_: float,
     ext: float,
@@ -214,21 +216,33 @@ def _kernel(
         )
         if not is_global:
             d = jnp.where(m == 0, jnp.int32(BEG), d)
-        active = active_x & (y1 <= tlen)
-        pen = jnp.where(active, jnp.where(d == BEG, DEL, EXT), pen)
-        val = jnp.where(active, m, zero)
-        dc = jnp.where(active, d, jnp.int32(BEG))
+        if dense:
+            # every problem fills every cell — no length masks
+            pen = jnp.where(d == BEG, DEL, EXT)
+            val, dc = m, d
+        else:
+            active = active_x & (y1 <= tlen)
+            pen = jnp.where(active, jnp.where(d == BEG, DEL, EXT), pen)
+            val = jnp.where(active, m, zero)
+            dc = jnp.where(active, d, jnp.int32(BEG))
         colbuf_ref[y1] = val
         if with_planes:
             dirs_ref[0, y1 - 1] = dc
             plane_ref[0, y1 - 1] = val
-        better = active & (
-            (m > bv) | ((m == bv) & ((y1 < by) | ((y1 == by) & (x1 < bx))))
-        )
-        bv = jnp.where(better, m, bv)
-        by = jnp.where(better, y1, by)
-        bx = jnp.where(better, x1, bx)
-        ev = jnp.where(active & (y1 == tlen) & (x1 == qlen), m, ev)
+        if track_argmax:
+            act = True if dense else active
+            better = (m > bv) | ((m == bv) & ((y1 < by) | ((y1 == by) & (x1 < bx))))
+            if not dense:
+                better = act & better
+            bv = jnp.where(better, m, bv)
+            by = jnp.where(better, y1, by)
+            bx = jnp.where(better, x1, bx)
+            evm = (y1 == tlen) & (x1 == qlen)
+            if not dense:
+                evm = act & evm
+            ev = jnp.where(evm, m, ev)
+        else:
+            bv = jnp.maximum(bv, val)
         return (val, pen, left_v, bv, by, bx, ev)
 
     # Unroll the cell loop: each cell's ~6-op dependent chain (max → dir →
@@ -288,7 +302,8 @@ def _seq_operand(a4):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mode", "with_planes", "dtype", "interpret", "del_", "ext", "packed_lut",
+        "mode", "with_planes", "dtype", "interpret", "del_", "ext",
+        "packed_lut", "dense", "track_argmax",
     ),
 )
 def _run(
@@ -305,6 +320,8 @@ def _run(
     dtype,
     interpret: bool,
     packed_lut: bool = False,
+    dense: bool = False,
+    track_argmax: bool = True,
 ):
     BS = t4.shape[1]
     NB = tlen4.shape[0]
@@ -382,7 +399,8 @@ def _run(
     kernel = functools.partial(
         _wrapped_kernel,
         C=C, R=R, V=V, BS=BS, mode=mode, batched_mat=batched_mat,
-        packed_lut=packed_lut, with_planes=with_planes,
+        packed_lut=packed_lut, dense=dense, track_argmax=track_argmax,
+        with_planes=with_planes,
         del_=float(del_), ext=float(ext), dtype=dtype,
     )
     return pl.pallas_call(
@@ -453,8 +471,14 @@ def fill_batch_pallas(
     mode: str = "local",
     with_planes: bool = True,
     dtype=jnp.float32,
+    track_argmax: bool = True,
 ) -> FillResult:
-    """Drop-in Pallas counterpart of scan_engine.fill_batch."""
+    """Drop-in Pallas counterpart of scan_engine.fill_batch.
+
+    ``track_argmax=False`` skips per-cell argmax/end bookkeeping (fy/fx/
+    end come back zero; fmax is still exact) — for consumers that only
+    need scores, like the p-value statistics.
+    """
     if mode not in ("local", "global"):
         raise ValueError(f"mode must be local|global, got {mode!r}")
     q = np.asarray(q, np.int32)
@@ -491,11 +515,17 @@ def fill_batch_pallas(
             jnp.int32 if packed_lut else dtype,
         )
 
+    # dense: no padding anywhere (every slot a full-size problem)
+    dense = bool(
+        B == NB * BS * LANES
+        and np.all(qlen == C)
+        and np.all(tlen == R)
+    )
     interpret = not on_tpu()
     outs = _run(
         q4, t4, qlen4, tlen4, m4, float(del_), float(ext),
         mode=mode, with_planes=with_planes, dtype=dtype, interpret=interpret,
-        packed_lut=packed_lut,
+        packed_lut=packed_lut, dense=dense, track_argmax=track_argmax,
     )
     fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
     plane = dirs = None

@@ -226,6 +226,7 @@ def calculate_p_value(
     res = batch_align(
         [q] * total, shuffles, matrix, del_, ins,
         mode="local", alphabet=alphabet, backend=backend,
+        track_argmax=False,  # only f is consumed — skip argmax bookkeeping
     )
     scores = np.concatenate([[initial_score], np.asarray(res.fmax, np.float64)])
     lengths = np.concatenate([[len(t)], [len(s) for s in shuffles]])
