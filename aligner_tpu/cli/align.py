@@ -15,7 +15,7 @@ import argparse
 import sys
 
 from ..align import align_global, align_local
-from ..alphabet import Protein
+from ..alphabet import DNA, Protein
 from ..errors import ValidationError
 from ..io import read_fasta_file
 from ..matrices import blosum62
@@ -24,7 +24,7 @@ from ..result import Alignment
 
 def render_result(alignment: Alignment, matrix) -> str:
     q, t = alignment.render()
-    match = Protein.decode(alignment.match_string(matrix))
+    match = alignment.alphabet.decode(alignment.match_string(matrix))
     lines = [
         f"query : {q}",
         f"match : {match}",
@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-d", "--deletions", type=float, default=11.0)
     ap.add_argument("-e", "--extension", type=float, default=2.0)
     ap.add_argument("-g", "--global", dest="global_", action="store_true")
+    ap.add_argument("-m", "--matrix", default="blosum62",
+                    help="blosum62 | blosum50 | path to a matrix file "
+                         "(the reference CLI hardcodes blosum62)")
+    ap.add_argument("--dna", action="store_true", help="DNA alphabet")
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument(
         "--backend", default=None, choices=["oracle", "xla", "pallas"],
@@ -54,11 +58,14 @@ def main(argv: list[str] | None = None) -> int:
     if len(seqs) != 2:
         raise ValidationError(f"There's should be 2 sequences, not {len(seqs)}")
 
-    m = blosum62()
+    from .search import load_matrix
+
+    m = load_matrix(args.matrix)
     fn = align_global if args.global_ else align_local
     result = fn(
         seqs[0].seq.decode(), seqs[1].seq.decode(), m,
         args.deletions, args.extension, backend=args.backend,
+        alphabet=DNA if args.dna else Protein,
     )
     out = render_result(result.alignment, m)
     print(out)

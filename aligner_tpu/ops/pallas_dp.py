@@ -487,7 +487,8 @@ def fill_batch_pallas(
     tlen = np.asarray(tlen, np.int32)
     matrix = np.asarray(matrix)
     B, C = q.shape
-    R = t.shape[1]
+    R_orig = t.shape[1]
+    R = R_orig
     if R % 8:  # kernel unrolls the row loop by 8
         t = np.pad(t, ((0, 0), (0, 8 - R % 8)))
         R = t.shape[1]
@@ -534,6 +535,9 @@ def fill_batch_pallas(
             outs[5], outs[4], NB, BS, B, R, C,
             jnp.asarray(qlen), jnp.asarray(tlen), mode, float(del_), dtype,
         )
+        if R != R_orig:  # drop the unroll padding rows
+            plane = plane[:, : R_orig + 1]
+            dirs = dirs[:, : R_orig + 1]
     return FillResult(plane=plane, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
 
 
@@ -554,7 +558,8 @@ def fill_pwm_batch_pallas(
     q = np.asarray(q, np.int32)
     qlen = np.asarray(qlen, np.int32)
     pwm = np.asarray(pwm)
-    B, R = q.shape
+    B, R_orig = q.shape
+    R = R_orig
     if R % 8:  # kernel unrolls the row loop by 8
         q = np.pad(q, ((0, 0), (0, 8 - R % 8)))
         R = q.shape[1]
@@ -583,6 +588,9 @@ def fill_pwm_batch_pallas(
             outs[5], outs[4], NB, BS, B, R, W,
             jnp.full(B, W, jnp.int32), jnp.asarray(qlen), "local", float(del_), dtype,
         )
+        if R != R_orig:  # drop the unroll padding rows
+            plane = plane[:, : R_orig + 1]
+            dirs = dirs[:, : R_orig + 1]
     return FillResult(plane=plane, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
 
 

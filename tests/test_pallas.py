@@ -98,3 +98,34 @@ def test_pallas_tpu_large_batch_matches_scan_engine(rng):
     assert np.array_equal(np.asarray(rp.fmax), np.asarray(rx.fmax))
     assert np.array_equal(np.asarray(rp.fy), np.asarray(rx.fy))
     assert np.array_equal(np.asarray(rp.fx), np.asarray(rx.fx))
+
+
+@pytest.mark.tpu
+def test_pallas_tpu_full_planes_match_scan_engine(rng):
+    """Full-mode planes on hardware vs XLA f32 (incl. traceback region)."""
+    from aligner_tpu.ops import fill_batch
+
+    M = blosum62()
+    q, ql, t, tl = _random_batch(rng, 140, 33, 50)
+    for mode in ("local", "global"):
+        rp = fill_batch_pallas(q, ql, t, tl, M, 11.0, 2.0, mode=mode,
+                               dtype=jnp.float32)
+        rx = fill_batch(q, ql, t, tl, jnp.asarray(M, jnp.float32), 11.0, 2.0,
+                        mode=mode, dtype=jnp.float32)
+        assert np.array_equal(np.asarray(rp.plane), np.asarray(rx.plane))
+        assert np.array_equal(np.asarray(rp.dirs), np.asarray(rx.dirs))
+
+
+@pytest.mark.tpu
+def test_pallas_tpu_pwm_and_batched_matrices(rng):
+    from aligner_tpu.ops import fill_pwm_batch
+
+    W = 12
+    pwms = rng.integers(-1, 2, (256, 4, W)).astype(np.float64)
+    q, ql, _, _ = _random_batch(rng, 256, 40, 40, vol=4)
+    rp = fill_pwm_batch_pallas(q, ql, pwms, 3.0, 1.0, with_planes=False,
+                               dtype=jnp.float32)
+    rx = fill_pwm_batch(q, ql, jnp.asarray(pwms, jnp.float32), 3.0, 1.0,
+                        with_planes=False, dtype=jnp.float32)
+    assert np.array_equal(np.asarray(rp.fmax), np.asarray(rx.fmax))
+    assert np.array_equal(np.asarray(rp.fy), np.asarray(rx.fy))

@@ -144,3 +144,31 @@ def test_cli_align(tmp_path, capsys):
     ])
     assert rc == 0
     assert (tmp_path / "res.txt").exists()
+
+
+def test_cli_search(tmp_path, capsys, rng):
+    from aligner_tpu.cli.search import main
+
+    qf = tmp_path / "q.fasta"
+    dbf = tmp_path / "db.fasta"
+    qf.write_text(">q\nHEAGAWGHEE\n")
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    recs = [
+        f">d{i}\n" + "".join(letters[c] for c in rng.integers(0, 20, 30))
+        for i in range(10)
+    ]
+    recs.append(">planted\nHEAGAWGHEE")
+    dbf.write_text("\n".join(recs) + "\n")
+    rc = main(["-q", str(qf), "-i", str(dbf), "-k", "3", "--backend", "xla"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0].split("\t")[1] == "planted"
+
+
+def test_cli_align_blosum50_and_dna(tmp_path, capsys):
+    from aligner_tpu.cli.align import main
+
+    rc = main(["-i", "examples/book_example_1.fasta", "-m", "blosum50",
+               "-d", "8", "-e", "8", "--backend", "oracle"])
+    assert rc == 0
+    assert "score :" in capsys.readouterr().out
