@@ -52,7 +52,7 @@ def pad_batch(
 
 
 def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
-          track_argmax=True):
+          track_argmax=True, scores_plane=False):
     import jax.numpy as jnp
 
     from .observability import measure
@@ -65,7 +65,7 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
             res = fill_batch_pallas(
                 q, ql, t, tl, matrix, del_, ext, mode=mode,
                 with_planes=with_planes, dtype=dtype,
-                track_argmax=track_argmax,
+                track_argmax=track_argmax, scores_plane=scores_plane,
             )
         else:
             from .ops.scan_engine import fill_batch
@@ -148,6 +148,7 @@ def align_global(
         q[None].astype(np.int32), np.array([len(q)]),
         t[None].astype(np.int32), np.array([len(t)]),
         matrix, del_, ext, "global", True, backend, dtype,
+        scores_plane=keep_planes,
     )
     dirs = np.asarray(res.dirs[0])
     qa, ta, coords = traceback_global(dirs[: len(t) + 1, : len(q) + 1], q, t)
@@ -192,6 +193,7 @@ def align_local(
         q[None].astype(np.int32), np.array([len(q)]),
         t[None].astype(np.int32), np.array([len(t)]),
         matrix, del_, ext, "local", True, backend, dtype,
+        scores_plane=keep_planes,
     )
     dirs = np.asarray(res.dirs[0])
     my, mx = int(res.fy[0]), int(res.fx[0])

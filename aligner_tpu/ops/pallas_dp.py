@@ -60,6 +60,7 @@ def _kernel(
     dense: bool,
     track_argmax: bool,
     with_planes: bool,
+    with_scores_plane: bool,
     del_: float,
     ext: float,
     dtype,
@@ -74,8 +75,11 @@ def _kernel(
     fmax_ref, fy_ref, fx_ref, end_ref = refs[:4]
     refs = refs[4:]
     if with_planes:
-        dirs_ref, plane_ref = refs[:2]
-        refs = refs[2:]
+        dirs_ref = refs[0]
+        refs = refs[1:]
+    if with_scores_plane:
+        plane_ref = refs[0]
+        refs = refs[1:]
     colbuf_ref, scol_ref, penb_ref = refs
 
     x = pl.program_id(1)
@@ -228,6 +232,7 @@ def _kernel(
         colbuf_ref[y1] = val
         if with_planes:
             dirs_ref[0, y1 - 1] = dc
+        if with_scores_plane:
             plane_ref[0, y1 - 1] = val
         if track_argmax:
             act = True if dense else active
@@ -303,7 +308,7 @@ def _seq_operand(a4):
     jax.jit,
     static_argnames=(
         "mode", "with_planes", "dtype", "interpret", "del_", "ext",
-        "packed_lut", "dense", "track_argmax",
+        "packed_lut", "dense", "track_argmax", "with_scores_plane",
     ),
 )
 def _run(
@@ -322,6 +327,7 @@ def _run(
     packed_lut: bool = False,
     dense: bool = False,
     track_argmax: bool = True,
+    with_scores_plane: bool = False,
 ):
     BS = t4.shape[1]
     NB = tlen4.shape[0]
@@ -379,16 +385,16 @@ def _run(
         jax.ShapeDtypeStruct((NB, BS, LANES), dtype),  # end
     ]
     out_specs = [small(), small(), small(), small()]
+    plane_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (1, R, BS, LANES), lambda i, x: (i * C + x, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     if with_planes:
-        out_shapes += [
-            jax.ShapeDtypeStruct((NB * C, R, BS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((NB * C, R, BS, LANES), dtype),
-        ]
-        plane_spec = lambda: pl.BlockSpec(  # noqa: E731
-            (1, R, BS, LANES), lambda i, x: (i * C + x, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        out_specs += [plane_spec(), plane_spec()]
+        out_shapes.append(jax.ShapeDtypeStruct((NB * C, R, BS, LANES), jnp.int32))
+        out_specs.append(plane_spec())
+    if with_scores_plane:
+        out_shapes.append(jax.ShapeDtypeStruct((NB * C, R, BS, LANES), dtype))
+        out_specs.append(plane_spec())
 
     scratch = [
         pltpu.VMEM((R + 1, BS, LANES), dtype),  # colbuf (in-place)
@@ -400,7 +406,7 @@ def _run(
         _wrapped_kernel,
         C=C, R=R, V=V, BS=BS, mode=mode, batched_mat=batched_mat,
         packed_lut=packed_lut, dense=dense, track_argmax=track_argmax,
-        with_planes=with_planes,
+        with_planes=with_planes, with_scores_plane=with_scores_plane,
         del_=float(del_), ext=float(ext), dtype=dtype,
     )
     return pl.pallas_call(
@@ -423,38 +429,42 @@ def _wrapped_kernel(*refs, **kw):
 
 def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, del_, dtype):
     """(NB*C, R, BS, 128) streams → (B, R+1, C+1) plane/dirs with borders,
-    matching the scan engine's assembly."""
-    v = jnp.asarray(interior_vals).reshape(NB, C, R, BS, LANES)
+    matching the scan engine's assembly.  ``interior_vals`` may be None
+    (direction-only mode; returns plane=None)."""
     d = jnp.asarray(interior_dirs).reshape(NB, C, R, BS, LANES)
-    # → (B, R, C)
-    v = jnp.transpose(v, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)[:B]
     d = jnp.transpose(d, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)[:B]
     ys = jnp.arange(1, R + 1, dtype=jnp.int32)
     xs = jnp.arange(1, C + 1, dtype=jnp.int32)
-    plane = jnp.zeros((B, R + 1, C + 1), dtype)
     dirs = jnp.full((B, R + 1, C + 1), jnp.uint8(BEG))
+    plane = None
+    if interior_vals is not None:
+        v = jnp.asarray(interior_vals).reshape(NB, C, R, BS, LANES)
+        v = jnp.transpose(v, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)[:B]
+        plane = jnp.zeros((B, R + 1, C + 1), dtype)
     if mode == "global":
-        qlf = qlen.astype(dtype)[:, None]
-        tlf = tlen.astype(dtype)[:, None]
-        row0 = jnp.where(
-            xs[None, :] == qlen[:, None],
-            -(qlf + 1) * del_,
-            -xs[None, :].astype(dtype) * del_,
-        )
-        col0 = jnp.where(
-            ys[None, :] == tlen[:, None],
-            -(tlf + 1) * del_,
-            -ys[None, :].astype(dtype) * del_,
-        )
-        plane = plane.at[:, 0, 1:].set(row0)
-        plane = plane.at[:, 1:, 0].set(col0)
         dirs = dirs.at[:, 0, 1:].set(
             jnp.where(xs[None, :] <= qlen[:, None], jnp.uint8(LEFT), jnp.uint8(BEG))
         )
         dirs = dirs.at[:, 1:, 0].set(
             jnp.where(ys[None, :] <= tlen[:, None], jnp.uint8(TOP), jnp.uint8(BEG))
         )
-    plane = plane.at[:, 1:, 1:].set(v)
+        if plane is not None:
+            qlf = qlen.astype(dtype)[:, None]
+            tlf = tlen.astype(dtype)[:, None]
+            row0 = jnp.where(
+                xs[None, :] == qlen[:, None],
+                -(qlf + 1) * del_,
+                -xs[None, :].astype(dtype) * del_,
+            )
+            col0 = jnp.where(
+                ys[None, :] == tlen[:, None],
+                -(tlf + 1) * del_,
+                -ys[None, :].astype(dtype) * del_,
+            )
+            plane = plane.at[:, 0, 1:].set(row0)
+            plane = plane.at[:, 1:, 0].set(col0)
+    if plane is not None:
+        plane = plane.at[:, 1:, 1:].set(v)
     dirs = dirs.at[:, 1:, 1:].set(d.astype(jnp.uint8))
     return plane, dirs
 
@@ -472,6 +482,7 @@ def fill_batch_pallas(
     with_planes: bool = True,
     dtype=jnp.float32,
     track_argmax: bool = True,
+    scores_plane: bool = True,
 ) -> FillResult:
     """Drop-in Pallas counterpart of scan_engine.fill_batch.
 
@@ -527,16 +538,18 @@ def fill_batch_pallas(
         q4, t4, qlen4, tlen4, m4, float(del_), float(ext),
         mode=mode, with_planes=with_planes, dtype=dtype, interpret=interpret,
         packed_lut=packed_lut, dense=dense, track_argmax=track_argmax,
+        with_scores_plane=scores_plane and with_planes,
     )
     fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
     plane = dirs = None
     if with_planes:
         plane, dirs = _assemble(
-            outs[5], outs[4], NB, BS, B, R, C,
+            outs[5] if scores_plane else None, outs[4], NB, BS, B, R, C,
             jnp.asarray(qlen), jnp.asarray(tlen), mode, float(del_), dtype,
         )
         if R != R_orig:  # drop the unroll padding rows
-            plane = plane[:, : R_orig + 1]
+            if plane is not None:
+                plane = plane[:, : R_orig + 1]
             dirs = dirs[:, : R_orig + 1]
     return FillResult(plane=plane, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
 
@@ -550,6 +563,7 @@ def fill_pwm_batch_pallas(
     *,
     with_planes: bool = True,
     dtype=jnp.float32,
+    scores_plane: bool = True,
 ) -> FillResult:
     """Drop-in Pallas counterpart of scan_engine.fill_pwm_batch.
 
@@ -580,16 +594,18 @@ def fill_pwm_batch_pallas(
     outs = _run(
         None, t4, None, tlen4, m4, float(del_), float(ext),
         mode="pwm", with_planes=with_planes, dtype=dtype, interpret=interpret,
+        with_scores_plane=scores_plane and with_planes,
     )
     fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
     plane = dirs = None
     if with_planes:
         plane, dirs = _assemble(
-            outs[5], outs[4], NB, BS, B, R, W,
+            outs[5] if scores_plane else None, outs[4], NB, BS, B, R, W,
             jnp.full(B, W, jnp.int32), jnp.asarray(qlen), "local", float(del_), dtype,
         )
         if R != R_orig:  # drop the unroll padding rows
-            plane = plane[:, : R_orig + 1]
+            if plane is not None:
+                plane = plane[:, : R_orig + 1]
             dirs = dirs[:, : R_orig + 1]
     return FillResult(plane=plane, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
 
