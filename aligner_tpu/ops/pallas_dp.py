@@ -42,6 +42,11 @@ from .scan_engine import BEG, DIAG, LEFT, TOP, FillResult
 
 LANES = 128
 
+# byte → its four 2-bit direction codes (for host-side plane unpacking)
+_UNPACK_LUT = np.array(
+    [[(b >> (2 * k)) & 3 for k in range(4)] for b in range(256)], dtype=np.uint8
+)
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -230,8 +235,6 @@ def _kernel(
             val = jnp.where(active, m, zero)
             dc = jnp.where(active, d, jnp.int32(BEG))
         colbuf_ref[y1] = val
-        if with_planes:
-            dirs_ref[0, y1 - 1] = dc
         if with_scores_plane:
             plane_ref[0, y1 - 1] = val
         if track_argmax:
@@ -248,7 +251,7 @@ def _kernel(
             ev = jnp.where(evm, m, ev)
         else:
             bv = jnp.maximum(bv, val)
-        return (val, pen, left_v, bv, by, bx, ev)
+        return (val, pen, left_v, bv, by, bx, ev), dc
 
     # Unroll the cell loop: each cell's ~6-op dependent chain (max → dir →
     # penalty → next top) is latency-bound at small BS; unrolling amortizes
@@ -259,8 +262,15 @@ def _kernel(
     assert R % UNROLL == 0, "wrapper must pad R to a multiple of UNROLL"
 
     def block(base, carry):
+        # directions pack 2 bits per cell, 8 cells (one unroll block) per
+        # int32 word — 1/8 the full-mode HBM write traffic
+        word = jnp.zeros((BS, LANES), jnp.int32)
         for j in range(UNROLL):
-            carry = body(base * UNROLL + 1 + j, carry)
+            carry, dc = body(base * UNROLL + 1 + j, carry)
+            if with_planes:
+                word = word | (dc << (2 * j))
+        if with_planes:
+            dirs_ref[0, base] = word
         return carry
 
     (_, pen, _, bv, by, bx, ev) = lax.fori_loop(
@@ -282,7 +292,8 @@ def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool) -> in
         if batched_mat:
             rows += V * V
         if with_planes:
-            rows += 4 * R * 2  # dirs+plane i32/f32 blocks, double-buffered
+            # packed dirs (R/8 words) + optional f32 plane, double-buffered
+            rows += 2 * (R // 8) + 2 * R
         if rows * bs * LANES * 4 <= budget:
             return bs
     return 1
@@ -385,16 +396,19 @@ def _run(
         jax.ShapeDtypeStruct((NB, BS, LANES), dtype),  # end
     ]
     out_specs = [small(), small(), small(), small()]
-    plane_spec = lambda: pl.BlockSpec(  # noqa: E731
-        (1, R, BS, LANES), lambda i, x: (i * C + x, 0, 0, 0),
+    plane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (1, rows, BS, LANES), lambda i, x: (i * C + x, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     if with_planes:
-        out_shapes.append(jax.ShapeDtypeStruct((NB * C, R, BS, LANES), jnp.int32))
-        out_specs.append(plane_spec())
+        # packed: 8 direction codes (2 bits each) per int32 word
+        out_shapes.append(
+            jax.ShapeDtypeStruct((NB * C, R // 8, BS, LANES), jnp.int32)
+        )
+        out_specs.append(plane_spec(R // 8))
     if with_scores_plane:
         out_shapes.append(jax.ShapeDtypeStruct((NB * C, R, BS, LANES), dtype))
-        out_specs.append(plane_spec())
+        out_specs.append(plane_spec(R))
 
     scratch = [
         pltpu.VMEM((R + 1, BS, LANES), dtype),  # colbuf (in-place)
@@ -428,44 +442,64 @@ def _wrapped_kernel(*refs, **kw):
 
 
 def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, del_, dtype):
-    """(NB*C, R, BS, 128) streams → (B, R+1, C+1) plane/dirs with borders,
-    matching the scan engine's assembly.  ``interior_vals`` may be None
+    """Packed direction/score streams → (B, R+1, C+1) planes with borders.
+
+    The device transposes the packed words to problem-major order (cheap);
+    the device→host transfer then moves 2 bits per cell, and the unpack +
+    border assembly happen in NumPy on the host (the consumers — traceback
+    walks — are host-side anyway).  ``interior_vals`` may be None
     (direction-only mode; returns plane=None)."""
-    d = jnp.asarray(interior_dirs).reshape(NB, C, R, BS, LANES)
-    d = jnp.transpose(d, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)[:B]
-    ys = jnp.arange(1, R + 1, dtype=jnp.int32)
-    xs = jnp.arange(1, C + 1, dtype=jnp.int32)
-    dirs = jnp.full((B, R + 1, C + 1), jnp.uint8(BEG))
+    @jax.jit
+    def _transpose_words(w):
+        w = w.reshape(NB, C, R // 8, BS, LANES)
+        return jnp.transpose(w, (0, 3, 4, 2, 1)).reshape(
+            NB * BS * LANES, R // 8, C
+        )
+
+    w = np.asarray(_transpose_words(interior_dirs))[:B]
+    # byte-LUT unpack: each packed word uses its low 2 bytes (8 codes × 2
+    # bits); LUT256 maps a byte to its 4 codes in one gather
+    w8 = w.view(np.uint8).reshape(B, R // 8, C, 4)[..., :2]
+    d = _UNPACK_LUT[w8]  # (B, R//8, C, 2, 4) u8
+    d = np.transpose(d, (0, 1, 3, 4, 2)).reshape(B, R, C)
+    qlen = np.asarray(qlen)
+    tlen = np.asarray(tlen)
+    ys = np.arange(1, R + 1, dtype=np.int32)
+    xs = np.arange(1, C + 1, dtype=np.int32)
+    dirs = np.full((B, R + 1, C + 1), np.uint8(BEG))
     plane = None
     if interior_vals is not None:
-        v = jnp.asarray(interior_vals).reshape(NB, C, R, BS, LANES)
-        v = jnp.transpose(v, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)[:B]
-        plane = jnp.zeros((B, R + 1, C + 1), dtype)
+        @jax.jit
+        def _transpose_vals(v):
+            v = v.reshape(NB, C, R, BS, LANES)
+            return jnp.transpose(v, (0, 3, 4, 2, 1)).reshape(
+                NB * BS * LANES, R, C
+            )
+
+        v = np.asarray(_transpose_vals(interior_vals))[:B]
+        plane = np.zeros((B, R + 1, C + 1), np.asarray(v).dtype)
     if mode == "global":
-        dirs = dirs.at[:, 0, 1:].set(
-            jnp.where(xs[None, :] <= qlen[:, None], jnp.uint8(LEFT), jnp.uint8(BEG))
+        dirs[:, 0, 1:] = np.where(
+            xs[None, :] <= qlen[:, None], np.uint8(LEFT), np.uint8(BEG)
         )
-        dirs = dirs.at[:, 1:, 0].set(
-            jnp.where(ys[None, :] <= tlen[:, None], jnp.uint8(TOP), jnp.uint8(BEG))
+        dirs[:, 1:, 0] = np.where(
+            ys[None, :] <= tlen[:, None], np.uint8(TOP), np.uint8(BEG)
         )
         if plane is not None:
-            qlf = qlen.astype(dtype)[:, None]
-            tlf = tlen.astype(dtype)[:, None]
-            row0 = jnp.where(
+            fdt = plane.dtype
+            qlf = qlen.astype(fdt)[:, None]
+            tlf = tlen.astype(fdt)[:, None]
+            plane[:, 0, 1:] = np.where(
                 xs[None, :] == qlen[:, None],
-                -(qlf + 1) * del_,
-                -xs[None, :].astype(dtype) * del_,
+                -(qlf + 1) * del_, -xs[None, :].astype(fdt) * del_,
             )
-            col0 = jnp.where(
+            plane[:, 1:, 0] = np.where(
                 ys[None, :] == tlen[:, None],
-                -(tlf + 1) * del_,
-                -ys[None, :].astype(dtype) * del_,
+                -(tlf + 1) * del_, -ys[None, :].astype(fdt) * del_,
             )
-            plane = plane.at[:, 0, 1:].set(row0)
-            plane = plane.at[:, 1:, 0].set(col0)
     if plane is not None:
-        plane = plane.at[:, 1:, 1:].set(v)
-    dirs = dirs.at[:, 1:, 1:].set(d.astype(jnp.uint8))
+        plane[:, 1:, 1:] = v
+    dirs[:, 1:, 1:] = d
     return plane, dirs
 
 

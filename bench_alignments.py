@@ -1,0 +1,63 @@
+"""End-to-end alignment throughput (alignments/sec), BASELINE metric #2.
+
+Two workloads on protein.fasta-sized problems (~400aa pairs):
+
+* ``scores``      — one query vs N targets, scores only (database sweep);
+* ``alignments``  — full results including host traceback.
+
+Prints one JSON line per workload.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--length", type=int, default=400)
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+
+    import aligner_tpu as at
+
+    rng = np.random.default_rng(0)
+    L = args.length
+    B = args.batch
+    M = at.blosum62()
+    qs = [rng.integers(0, 24, L).astype(np.int8) for _ in range(B)]
+    ts = [rng.integers(0, 24, L).astype(np.int8) for _ in range(B)]
+
+    # scores-only
+    at.batch_align(qs, ts, M, 11.0, 2.0, backend=args.backend)  # warm
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        at.batch_align(qs, ts, M, 11.0, 2.0, backend=args.backend)
+    dt = (time.time() - t0) / reps
+    print(json.dumps({
+        "metric": "batch scores-only alignments/sec (400aa pairs)",
+        "value": round(B / dt, 1), "unit": "alignments/s",
+        "gcups": round(B * L * L / dt / 1e9, 1),
+    }))
+
+    # full alignments (device fill + host traceback)
+    Bf = min(B, 512)
+    at.batch_align(qs[:Bf], ts[:Bf], M, 11.0, 2.0, backend=args.backend,
+                   with_alignments=True)  # warm
+    t0 = time.time()
+    res = at.batch_align(qs[:Bf], ts[:Bf], M, 11.0, 2.0, backend=args.backend,
+                         with_alignments=True)
+    dt = time.time() - t0
+    assert len(res) == Bf and res[0].alignment.f >= 0
+    print(json.dumps({
+        "metric": "full alignments/sec incl. traceback (400aa pairs)",
+        "value": round(Bf / dt, 1), "unit": "alignments/s",
+    }))
+
+
+if __name__ == "__main__":
+    main()
