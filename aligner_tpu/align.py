@@ -256,6 +256,8 @@ def batch_align(
     dtype=None,
     with_alignments: bool = False,
     track_argmax: bool = True,
+    pad_to: int | None = None,
+    skip: np.ndarray | None = None,
 ):
     """Batched alignment of N independent (query, target) pairs.
 
@@ -264,13 +266,33 @@ def batch_align(
     (no direction planes leave the device) and returns :class:`BatchScores`;
     with it, a list of :class:`AlignmentResult` (the TPU-native equivalent
     of the reference's thread fan-outs, statistics/mod.rs:253-291).
+
+    ``pad_to`` pads the batch with inactive problems to a fixed size so
+    chunked callers reuse one compiled kernel; ``skip`` marks problems
+    inactive (zero-length — effectively free) so iterative drivers can
+    retire problems without changing the compiled shape.  Skipped /
+    padded entries return score 0 and (with alignments) ``None``.
     """
     qs = [_encode(s, alphabet) for s in queries]
     ts = [_encode(s, alphabet) for s in targets]
     if len(qs) != len(ts):
         raise ValidationError("queries and targets must have the same length")
+    n_real = len(qs)
     q, ql = pad_batch(qs)
     t, tl = pad_batch(ts)
+    if skip is not None:
+        ql = np.where(np.asarray(skip, bool), 0, ql).astype(np.int32)
+        tl = np.where(np.asarray(skip, bool), 0, tl).astype(np.int32)
+    if pad_to is not None and len(qs) < pad_to:
+        extra = pad_to - len(qs)
+        q = np.pad(q, ((0, extra), (0, 0)))
+        t = np.pad(t, ((0, extra), (0, 0)))
+        ql = np.pad(ql, (0, extra))
+        tl = np.pad(tl, (0, extra))
+        if matrix is not None and np.asarray(matrix).ndim == 3:
+            matrix = np.pad(
+                np.asarray(matrix), ((0, extra), (0, 0), (0, 0))
+            )
     backend = pick_backend(backend)
     if backend == "oracle":
         backend = "xla"  # the batch path is device-only; oracle covers singles
@@ -279,13 +301,16 @@ def batch_align(
                 backend, dtype, track_argmax=track_argmax or with_alignments)
     if not with_alignments:
         return BatchScores(
-            fmax=np.asarray(res.fmax), fy=np.asarray(res.fy),
-            fx=np.asarray(res.fx), end=np.asarray(res.end),
+            fmax=np.asarray(res.fmax)[:n_real], fy=np.asarray(res.fy)[:n_real],
+            fx=np.asarray(res.fx)[:n_real], end=np.asarray(res.end)[:n_real],
         )
-    dirs = np.asarray(res.dirs)
+    dirs = np.asarray(res.dirs)[:n_real]
+    skip_mask = (
+        np.zeros(n_real, bool) if skip is None else np.asarray(skip, bool)[:n_real]
+    )
     from . import native
 
-    if native.available():
+    if native.available() and not skip_mask.any():
         # one C call walks the whole batch (native/aligner_native.cpp)
         if mode == "global":
             sy, sx = tl.astype(np.int64), ql.astype(np.int64)
@@ -322,7 +347,10 @@ def batch_align(
         return out
 
     out = []
-    for b in range(len(qs)):
+    for b in range(n_real):
+        if skip_mask[b]:
+            out.append(None)
+            continue
         d = dirs[b, : tl[b] + 1, : ql[b] + 1]
         if mode == "global":
             qa, ta, coords = traceback_global(d, qs[b], ts[b])

@@ -158,7 +158,10 @@ def heuristic_align_population(
     )
     max_f = np.zeros(M)
     results: list[AlignmentResult | None] = [None] * M
-    active = list(range(M))
+    # constant-shape iteration: converged problems are masked inactive
+    # (zero-length — effectively free) instead of shrinking the batch, so
+    # every iteration reuses one compiled kernel
+    done = np.zeros(M, bool)
 
     from .align import _encode
 
@@ -166,27 +169,27 @@ def heuristic_align_population(
     t = _encode(target, alphabet)
 
     for _ in range(max_iters):
-        if not active:
+        if done.all():
             break
         batch = batch_align(
-            [q] * len(active), [t] * len(active), transformed[active],
+            [q] * M, [t] * M, transformed,
             del_, ext, mode="local", alphabet=alphabet,
-            backend=backend, with_alignments=True,
+            backend=backend, with_alignments=True, skip=done,
         )
-        still = []
-        for res, m in zip(batch, active):
+        for m, res in enumerate(batch):
+            if res is None:
+                continue
             if res.alignment.f > max_f[m]:
                 max_f[m] = res.alignment.f
                 transformed[m] = transform_matrix(
                     res.alignment.frequency_matrix(),
                     heuristics.kd, r_squared, heuristics.frequencies,
                 )
-                still.append(m)
             else:
                 res.matrix = transformed[m].copy()
                 results[m] = res
-        active = still
-    for m in active:  # hit max_iters: attach current state
+                done[m] = True
+    for m in range(M):  # hit max_iters: attach current state
         if results[m] is None:
             res = batch_align(
                 [q], [t], transformed[m][None], del_, ext, mode="local",

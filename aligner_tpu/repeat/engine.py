@@ -113,10 +113,15 @@ def _scan_scores(
     for lo in range(0, len(wins), SCAN_CHUNK):
         chunk = wins[lo : lo + SCAN_CHUNK]
         qs = [seq[j:border] for j, border in chunk]
+        # pad the final partial chunk with empty windows so every launch
+        # reuses the same compiled shape
+        pad = SCAN_CHUNK - len(chunk) if len(wins) > SCAN_CHUNK else 0
+        if pad:
+            qs = qs + [seq[:0]] * pad
         res = batch_align_pwm(
             qs, matrix, opts.deletions, opts.extension, backend=opts.backend
         )
-        fs[lo : lo + len(chunk)] = np.asarray(res.fmax, np.float64)
+        fs[lo : lo + len(chunk)] = np.asarray(res.fmax, np.float64)[: len(chunk)]
     return fs
 
 
