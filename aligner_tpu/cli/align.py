@@ -18,7 +18,6 @@ from ..align import align_global, align_local
 from ..alphabet import DNA, Protein
 from ..errors import ValidationError
 from ..io import read_fasta_file
-from ..matrices import blosum62
 from ..result import Alignment
 
 

@@ -21,7 +21,6 @@ import sys
 import numpy as np
 
 from ..io.records import Record, write_records
-from .align import __doc__ as _  # noqa: F401
 from ..repeat.engine import (
     SearchOptions,
     run_csv_cmd,

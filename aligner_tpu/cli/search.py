@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ..align import _encode
 from ..alphabet import DNA, Protein
 from ..errors import ValidationError
 from ..io import read_fasta_file

@@ -11,7 +11,7 @@ import dataclasses
 
 import numpy as np
 
-from .alphabet import ANY, BLANK, POS, Alphabet
+from .alphabet import BLANK, POS, Alphabet
 
 
 @dataclasses.dataclass

@@ -19,9 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .alphabet import BLANK
 from .errors import ResultIsEmpty
-from .oracle import BEG, _walk
+from .oracle import _walk
 
 
 def traceback_local(

@@ -16,7 +16,6 @@ host↔device round-trip (large under the axon tunnel) is amortized.
 import json
 import os
 import subprocess
-import sys
 import tempfile
 import time
 
