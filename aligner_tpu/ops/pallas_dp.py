@@ -456,7 +456,7 @@ def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, d
             NB * BS * LANES, R // 8, C
         )
 
-    w = np.asarray(_transpose_words(interior_dirs))[:B]
+    w = np.ascontiguousarray(np.asarray(_transpose_words(interior_dirs))[:B])
     # byte-LUT unpack: each packed word uses its low 2 bytes (8 codes × 2
     # bits); LUT256 maps a byte to its 4 codes in one gather
     w8 = w.view(np.uint8).reshape(B, R // 8, C, 4)[..., :2]
