@@ -20,10 +20,13 @@ failure (matching the node's single reconnect-retry).
 
 from __future__ import annotations
 
+import logging
 import time
 from collections import defaultdict
 
 import numpy as np
+
+log = logging.getLogger("aligner_tpu.worker")
 
 from ..alphabet import Protein
 from ..heuristic import Heuristics, heuristic_align_population
@@ -58,9 +61,18 @@ class Worker:
             return 0
 
         by_task: dict[str, list[tuple[int, AlignJob]]] = defaultdict(list)
+        poison: list[int] = []
         for job_id, payload in claimed:
-            job = AlignJob.from_json(payload)
+            try:
+                job = AlignJob.from_json(payload)
+            except Exception:
+                # a malformed payload would otherwise be redelivered
+                # forever (the reference node just panics, node/main.rs:61)
+                log.warning("dropping undecodable job %s", job_id)
+                poison.append(job_id)
+                continue
             by_task[job.hash].append((job_id, job))
+        self.queue.commit(poison)
 
         for hash_, items in by_task.items():
             jobs = [j for _, j in items]

@@ -71,3 +71,38 @@ def test_matrix_population_best(mesh, rng):
         fs = [oracle.fill_local(q[b], t[b], mats[m], 7.0, 3.0)[0].max() for m in range(nM)]
         assert float(best[b]) == max(fs)
         assert fs[int(win[b])] == max(fs)
+
+
+def test_sharded_scores_pallas_engine(mesh, rng):
+    """The pallas kernel per device inside shard_map (interpret on CPU)."""
+    from aligner_tpu.matrices import blosum62
+    from aligner_tpu import oracle
+
+    M = blosum62()
+    B, L = 16, 16
+    q = rng.integers(0, 24, (B, L)).astype(np.int32)
+    t = rng.integers(0, 24, (B, L)).astype(np.int32)
+    ql = np.full(B, L, np.int32)
+    tl = np.full(B, L, np.int32)
+    fmax, fy, fx, end = sharded_scores(
+        mesh, q, ql, t, tl, M, 11.0, 2.0, dtype=jnp.float64, engine="pallas"
+    )
+    for b in range(B):
+        a, _ = oracle.fill_local(q[b], t[b], M, 11.0, 2.0)
+        assert float(fmax[b]) == a.max()
+
+
+def test_window_scan_pallas_engine(mesh, rng):
+    from aligner_tpu.matrices import random_pwm
+    from aligner_tpu import oracle
+
+    B, L, W = 16, 24, 8
+    pwm = random_pwm(W, rng)
+    ws = rng.integers(0, 4, (B, L)).astype(np.int32)
+    wl = np.full(B, L, np.int32)
+    scores, z, mean, std = window_scan_step(
+        mesh, ws, wl, pwm, 3.0, 1.0, dtype=jnp.float64, engine="pallas"
+    )
+    for b in range(4):
+        a, _ = oracle.fill_pwm(ws[b], pwm, 3.0, 1.0)
+        assert float(scores[b]) == a.max()

@@ -203,3 +203,28 @@ def test_blast_cmp(tmp_path, rng):
     assert n == 1
     rows = store.get_cmp_table()
     assert rows[0][4] is not None and 0.0 <= rows[0][4] <= 1.0
+
+
+def test_worker_drops_poison_messages(svc):
+    disp, store, queue = svc
+    queue.produce(TOPIC_JOBS, "{not json", GROUP)
+    disp.validate(REQ)
+    w = Worker(store, queue, batch=64, backend="xla")
+    while queue.pending(TOPIC_JOBS) > 0:
+        w.process_batch()
+    assert queue.pending(TOPIC_JOBS) == 0  # poison committed away, not looping
+
+
+def test_two_workers_compete(svc):
+    """At-least-once with two consumers: every job handled exactly once
+    here (leases prevent double-claiming live jobs)."""
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    w1 = Worker(store, queue, name="w1", batch=4, backend="xla")
+    w2 = Worker(store, queue, name="w2", batch=4, backend="xla")
+    while queue.pending(TOPIC_JOBS) > 0:
+        w1.process_batch()
+        w2.process_batch()
+    for h in resp["hashes"]:
+        assert store.get_percentage_by_hash(h) == 100.0
+    assert {"consumerName": "w1", "status": True} in disp.health_check()["nodes"]
