@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--reverse", action="store_true")
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="JSON file updated per cycle; resumes if present")
     ap.add_argument("--backend", default=None, choices=["oracle", "xla", "pallas"])
     args = ap.parse_args(argv)
 
@@ -85,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.csv is not None:
         result = run_csv_cmd(opts, args.input, args.csv, rng)
     else:
-        result = run_exploring_cmd(opts, args.input, rng)
+        result = run_exploring_cmd(opts, args.input, rng,
+                                   checkpoint=args.checkpoint)
 
     records = []
     matrices = {}

@@ -32,6 +32,7 @@ Replicated behavior details:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -259,21 +260,78 @@ def mutate(
     return out
 
 
+def _save_checkpoint(path: str, head: str, cycle: int, mean: float,
+                     std: float, matrix: np.ndarray, tasks: list[Task]):
+    """Durable per-cycle state: enough to resume a long chromosome scan
+    (the per-cycle analogue of the service store's subtask checkpointing,
+    which the reference CLI lacks entirely)."""
+    import json
+
+    state = {
+        "head": head, "cycle": cycle, "mean": mean, "std": std,
+        "matrix": {"dim": list(matrix.shape), "data": matrix.ravel().tolist()},
+        "tasks": [
+            {"left": t.left_coord, "right": t.right_coord, "z": t.z, "f": t.f}
+            for t in tasks
+        ],
+    }
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(path: str, head: str):
+    import json
+
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        state = json.load(fh)
+    if state.get("head") != head:
+        return None
+    m = np.asarray(state["matrix"]["data"]).reshape(state["matrix"]["dim"])
+    tasks = [
+        Task(alignment=None, left_coord=t["left"], right_coord=t["right"],
+             z=t["z"], f=t["f"])
+        for t in state["tasks"]
+    ]
+    return state["cycle"], state["mean"], state["std"], m, tasks
+
+
 def perform_calculation_per_sequence(
     opts: SearchOptions, raw_seq: bytes, head: str,
     rng: np.random.Generator,
+    checkpoint: str | None = None,
 ) -> dict[str, TaskResult]:
-    """Full per-chromosome search (calc.rs:149-241)."""
-    seq, freqs, indices = DNA.encode_with_freqs_and_indices(raw_seq)
-    matrix = random_pwm(opts.repeat_length, rng)
-    matrix = transform_matrix(matrix, 0.0, opts.deletions * opts.extension, freqs)
+    """Full per-chromosome search (calc.rs:149-241).
 
-    mean, std = calculate_starting_values(seq, matrix, opts, rng)
+    ``checkpoint`` names a JSON file updated after every cycle; if it
+    exists (and matches ``head``) the scan resumes from the next cycle —
+    the matrix/statistics state is exact, completed cycles are not redone
+    (surviving tasks reload without their alignments, which only the next
+    matrix derivation consumed).
+    """
+    seq, freqs, indices = DNA.encode_with_freqs_and_indices(raw_seq)
+
+    resume = _load_checkpoint(checkpoint, head) if checkpoint else None
+    if resume is not None:
+        start_cycle, mean, std, matrix, tasks = resume
+    else:
+        matrix = random_pwm(opts.repeat_length, rng)
+        matrix = transform_matrix(
+            matrix, 0.0, opts.deletions * opts.extension, freqs
+        )
+        mean, std = calculate_starting_values(seq, matrix, opts, rng)
+        start_cycle, tasks = 0, []
+        if checkpoint:
+            # the starting scan is the expensive prelude — persist it even
+            # before the first cycle completes
+            _save_checkpoint(checkpoint, head, 0, mean, std, matrix, tasks)
 
     result: dict[str, TaskResult] = {}
-    tasks: list[Task] = []
 
-    for i in range(opts.repeats):
+    for i in range(start_cycle, opts.repeats):
         new_tasks = calculate_cycle(seq, matrix, indices, mean, std, opts)
         if not new_tasks:
             break
@@ -291,6 +349,9 @@ def perform_calculation_per_sequence(
             matrix = transform_matrix(
                 matrix, 0.0, opts.deletions * opts.extension, freqs
             )
+
+        if checkpoint:
+            _save_checkpoint(checkpoint, head, i + 1, mean, std, matrix, tasks)
 
     result["direct"] = TaskResult(tasks, matrix.copy())
 
@@ -343,14 +404,17 @@ def run_testing_cmd(
 
 
 def run_exploring_cmd(
-    opts: SearchOptions, fasta_path, rng: np.random.Generator
+    opts: SearchOptions, fasta_path, rng: np.random.Generator,
+    checkpoint: str | None = None,
 ) -> dict[str, TaskResult]:
     """Search every record of a FASTA file (cmd/exploring.rs)."""
     from ..io import read_fasta_file
 
     result: dict[str, TaskResult] = {}
     for rec in read_fasta_file(fasta_path):
-        per_seq = perform_calculation_per_sequence(opts, rec.seq, rec.head, rng)
+        per_seq = perform_calculation_per_sequence(
+            opts, rec.seq, rec.head, rng, checkpoint=checkpoint
+        )
         if "direct" in per_seq:
             result[rec.head] = per_seq["direct"]
         if "inverse" in per_seq:

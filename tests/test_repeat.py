@@ -172,3 +172,35 @@ def test_cli_align_blosum50_and_dna(tmp_path, capsys):
                "-d", "8", "-e", "8", "--backend", "oracle"])
     assert rc == 0
     assert "score :" in capsys.readouterr().out
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    from aligner_tpu.repeat.engine import (
+        _load_checkpoint,
+        perform_calculation_per_sequence,
+    )
+
+    motif = "".join("ATCG"[c] for c in rng.integers(0, 4, 40))
+    raw = "".join(
+        "".join("ATCG"[c] for c in rng.integers(0, 4, 100)) + motif
+        for _ in range(6)
+    ).encode()
+    ckpt = str(tmp_path / "state.json")
+    opts = SearchOptions(
+        repeat_length=32, query_offset=12, deletions=6.0, extension=2.0,
+        repeats=3, backend="xla",
+    )
+    res1 = perform_calculation_per_sequence(opts, raw, "chr", rng,
+                                            checkpoint=ckpt)
+    state = _load_checkpoint(ckpt, "chr")
+    assert state is not None
+    cycle, mean, std, matrix, tasks = state
+    assert cycle >= 0 and matrix.shape == (4, 32)
+    # resume with the checkpoint: completed cycles are skipped, the run
+    # finishes and produces a result without redoing the starting scan
+    res2 = perform_calculation_per_sequence(opts, raw, "chr",
+                                            np.random.default_rng(999),
+                                            checkpoint=ckpt)
+    assert "direct" in res2
+    # mismatched head → fresh run path (checkpoint ignored)
+    assert _load_checkpoint(ckpt, "other") is None
