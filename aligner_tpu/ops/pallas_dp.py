@@ -218,22 +218,33 @@ def _kernel(
         left = left_v - pen
         diag = diag_prev + s
         m = jnp.maximum(jnp.maximum(top, left), diag)
-        d = jnp.where(
-            m - top < eps,
-            jnp.int32(TOP),
-            jnp.where(m - left < eps, jnp.int32(LEFT), jnp.int32(DIAG)),
-        )
-        if not is_global:
-            d = jnp.where(m == 0, jnp.int32(BEG), d)
+        if with_planes:
+            d = jnp.where(
+                m - top < eps,
+                jnp.int32(TOP),
+                jnp.where(m - left < eps, jnp.int32(LEFT), jnp.int32(DIAG)),
+            )
+            if not is_global:
+                d = jnp.where(m == 0, jnp.int32(BEG), d)
+        else:
+            d = None  # scores-only: the direction is consumed solely via
+            # the penalty update, and dir == Beginning ⟺ m == 0 (local)
+            # / never (global) — enums.rs:30-46
+        def next_pen():
+            if d is not None:
+                return jnp.where(d == BEG, DEL, EXT)
+            if is_global:
+                return jnp.broadcast_to(EXT, (BS, LANES))
+            return jnp.where(m == 0, DEL, EXT)
         if dense:
             # every problem fills every cell — no length masks
-            pen = jnp.where(d == BEG, DEL, EXT)
+            pen = next_pen()
             val, dc = m, d
         else:
             active = active_x & (y1 <= tlen)
-            pen = jnp.where(active, jnp.where(d == BEG, DEL, EXT), pen)
+            pen = jnp.where(active, next_pen(), pen)
             val = jnp.where(active, m, zero)
-            dc = jnp.where(active, d, jnp.int32(BEG))
+            dc = jnp.where(active, d, jnp.int32(BEG)) if d is not None else None
         colbuf_ref[y1] = val
         if with_scores_plane:
             plane_ref[0, y1 - 1] = val
