@@ -303,7 +303,8 @@ def _kernel(
     end_ref[0] = ev
 
 
-def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool) -> int:
+def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool,
+             scores_plane: bool = True) -> int:
     """Largest BS (sublane groups per tile) whose VMEM footprint fits."""
     budget = 11 * 1024 * 1024
     for bs in (32, 16, 8, 4, 2, 1):
@@ -312,8 +313,9 @@ def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool) -> in
         if batched_mat:
             rows += V * V
         if with_planes:
-            # packed dirs (R/8 words) + optional f32 plane, double-buffered
-            rows += 2 * (R // 8) + 2 * R
+            rows += 2 * (R // 8)  # packed dirs words, double-buffered
+            if scores_plane:
+                rows += 2 * R  # f32 plane blocks, double-buffered
         if rows * bs * LANES * 4 <= budget:
             return bs
     return 1
@@ -559,7 +561,10 @@ def fill_batch_pallas(
         R = t.shape[1]
     batched_mat = matrix.ndim == 3
     V = matrix.shape[-1]
-    BS = min(_pick_bs(R, C, V, with_planes, batched_mat), max(1, _cdiv(B, LANES)))
+    BS = min(
+        _pick_bs(R, C, V, with_planes, batched_mat, scores_plane),
+        max(1, _cdiv(B, LANES)),
+    )
     NB = _cdiv(B, BS * LANES)
 
     q4 = _seq_operand(_to_tiles(q, NB, BS, (C,)))
@@ -633,7 +638,10 @@ def fill_pwm_batch_pallas(
         R = q.shape[1]
     batched_mat = pwm.ndim == 3
     W = pwm.shape[-1]
-    BS = min(_pick_bs(R, W, 4, with_planes, batched_mat), max(1, _cdiv(B, LANES)))
+    BS = min(
+        _pick_bs(R, W, 4, with_planes, batched_mat, scores_plane),
+        max(1, _cdiv(B, LANES)),
+    )
     NB = _cdiv(B, BS * LANES)
 
     t4 = _seq_operand(_to_tiles(q, NB, BS, (R,)))
