@@ -78,7 +78,8 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
     return res
 
 
-def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype):
+def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
+              scores_plane=False):
     import jax.numpy as jnp
 
     from .observability import measure
@@ -89,8 +90,12 @@ def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype):
         if backend == "pallas":
             from .ops.pallas_dp import fill_pwm_batch_pallas
 
+            # scores_plane=False by default: the PWM consumers (traceback
+            # walks) read only the direction plane, so the f32 score
+            # planes never leave the device (mirrors the pair path knob)
             res = fill_pwm_batch_pallas(
-                q, ql, pwm, del_, ext, with_planes=with_planes, dtype=dtype
+                q, ql, pwm, del_, ext, with_planes=with_planes, dtype=dtype,
+                scores_plane=scores_plane,
             )
         else:
             from .ops.scan_engine import fill_pwm_batch
@@ -311,18 +316,22 @@ def batch_align(
     from . import native
 
     if native.available() and not skip_mask.any():
-        # one C call walks the whole batch (native/aligner_native.cpp)
+        # one C call walks the whole batch (native/aligner_native.cpp);
+        # everything is sliced to n_real so pad_to padding (ql=tl=0,
+        # fy=fx=0) cannot trip the empty-result check
         if mode == "global":
-            sy, sx = tl.astype(np.int64), ql.astype(np.int64)
+            sy = tl[:n_real].astype(np.int64)
+            sx = ql[:n_real].astype(np.int64)
         else:
-            fy, fx = np.asarray(res.fy), np.asarray(res.fx)
+            fy = np.asarray(res.fy)[:n_real]
+            fx = np.asarray(res.fx)[:n_real]
             if ((fy == 0) | (fx == 0)).any():
                 raise ResultIsEmpty(
                     "local alignment has no positive-scoring cell"
                 )
             sy, sx = fy.astype(np.int64), fx.astype(np.int64)
-        q8 = q.astype(np.int8)
-        t8 = t.astype(np.int8)
+        q8 = q[:n_real].astype(np.int8)
+        t8 = t[:n_real].astype(np.int8)
         walks_q, walks_t, end_y, end_x = native.traceback_batch(
             dirs, sy, sx, q8, t8, pwm_mode=False
         )

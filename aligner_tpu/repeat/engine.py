@@ -32,6 +32,8 @@ Replicated behavior details:
 from __future__ import annotations
 
 import dataclasses
+import functools
+import hashlib
 import os
 
 import numpy as np
@@ -233,7 +235,11 @@ def filter_tasks(tasks: list[Task]) -> list[Task]:
         if len(batch) == 1:
             result.append(batch[0])
         else:
-            result.append(max(batch, key=lambda t: t.z))
+            # Rust Iterator::max_by keeps the *last* maximum on ties
+            # (engine/mod.rs:93-99) — `>=` while folding reproduces that
+            result.append(
+                functools.reduce(lambda a, b: b if b.z >= a.z else a, batch)
+            )
 
         tasks = tasks[index + 1 :]
 
@@ -260,21 +266,51 @@ def mutate(
     return out
 
 
+def _tasks_to_json(tasks: list[Task]) -> list[dict]:
+    return [
+        {"left": t.left_coord, "right": t.right_coord, "z": t.z, "f": t.f}
+        for t in tasks
+    ]
+
+
+def _tasks_from_json(items: list[dict]) -> list[Task]:
+    return [
+        Task(alignment=None, left_coord=t["left"], right_coord=t["right"],
+             z=t["z"], f=t["f"])
+        for t in items
+    ]
+
+
+def _matrix_to_json(matrix: np.ndarray) -> dict:
+    return {"dim": list(matrix.shape), "data": matrix.ravel().tolist()}
+
+
+def _matrix_from_json(obj: dict) -> np.ndarray:
+    return np.asarray(obj["data"]).reshape(obj["dim"])
+
+
 def _save_checkpoint(path: str, head: str, cycle: int, mean: float,
-                     std: float, matrix: np.ndarray, tasks: list[Task]):
+                     std: float, matrix: np.ndarray, tasks: list[Task],
+                     results: dict[str, TaskResult] | None = None):
     """Durable per-cycle state: enough to resume a long chromosome scan
     (the per-cycle analogue of the service store's subtask checkpointing,
-    which the reference CLI lacks entirely)."""
+    which the reference CLI lacks entirely).  ``results`` marks the
+    record complete: resume then skips the record entirely and replays
+    the stored task lists (alignments are not needed downstream — the
+    CSV/JSON outputs consume only coords/z/f and the matrices)."""
     import json
 
     state = {
         "head": head, "cycle": cycle, "mean": mean, "std": std,
-        "matrix": {"dim": list(matrix.shape), "data": matrix.ravel().tolist()},
-        "tasks": [
-            {"left": t.left_coord, "right": t.right_coord, "z": t.z, "f": t.f}
-            for t in tasks
-        ],
+        "matrix": _matrix_to_json(matrix),
+        "tasks": _tasks_to_json(tasks),
     }
+    if results is not None:
+        state["complete"] = {
+            key: {"tasks": _tasks_to_json(r.tasks),
+                  "matrix": _matrix_to_json(r.matrix)}
+            for key, r in results.items()
+        }
     tmp = f"{path}.tmp"
     with open(tmp, "w") as fh:
         json.dump(state, fh)
@@ -282,6 +318,9 @@ def _save_checkpoint(path: str, head: str, cycle: int, mean: float,
 
 
 def _load_checkpoint(path: str, head: str):
+    """Returns None (no usable checkpoint), a dict of TaskResult (record
+    already complete), or a (cycle, mean, std, matrix, tasks) resume
+    tuple."""
     import json
 
     if not path or not os.path.exists(path):
@@ -290,13 +329,23 @@ def _load_checkpoint(path: str, head: str):
         state = json.load(fh)
     if state.get("head") != head:
         return None
-    m = np.asarray(state["matrix"]["data"]).reshape(state["matrix"]["dim"])
-    tasks = [
-        Task(alignment=None, left_coord=t["left"], right_coord=t["right"],
-             z=t["z"], f=t["f"])
-        for t in state["tasks"]
-    ]
-    return state["cycle"], state["mean"], state["std"], m, tasks
+    if "complete" in state:
+        return {
+            key: TaskResult(_tasks_from_json(r["tasks"]),
+                            _matrix_from_json(r["matrix"]))
+            for key, r in state["complete"].items()
+        }
+    m = _matrix_from_json(state["matrix"])
+    return state["cycle"], state["mean"], state["std"], m, _tasks_from_json(
+        state["tasks"]
+    )
+
+
+def _record_checkpoint_path(base: str, head: str) -> str:
+    """Per-record checkpoint file so multi-record FASTA inputs resume
+    correctly (one shared file would be clobbered by the next record)."""
+    digest = hashlib.sha1(head.encode("utf-8", "replace")).hexdigest()[:12]
+    return f"{base}.{digest}"
 
 
 def perform_calculation_per_sequence(
@@ -315,6 +364,8 @@ def perform_calculation_per_sequence(
     seq, freqs, indices = DNA.encode_with_freqs_and_indices(raw_seq)
 
     resume = _load_checkpoint(checkpoint, head) if checkpoint else None
+    if isinstance(resume, dict):
+        return resume  # record already completed in a previous run
     if resume is not None:
         start_cycle, mean, std, matrix, tasks = resume
     else:
@@ -360,6 +411,12 @@ def perform_calculation_per_sequence(
         rotated = rotate_indices(indices, len(rev))
         inv = calculate_cycle(rev, matrix, rotated, mean, std, opts)
         result["inverse"] = TaskResult(filter_tasks(inv), matrix)
+
+    if checkpoint:
+        _save_checkpoint(
+            checkpoint, head, opts.repeats, mean, std, matrix, tasks,
+            results=result,
+        )
 
     return result
 
@@ -412,8 +469,11 @@ def run_exploring_cmd(
 
     result: dict[str, TaskResult] = {}
     for rec in read_fasta_file(fasta_path):
+        per_ckpt = (
+            _record_checkpoint_path(checkpoint, rec.head) if checkpoint else None
+        )
         per_seq = perform_calculation_per_sequence(
-            opts, rec.seq, rec.head, rng, checkpoint=checkpoint
+            opts, rec.seq, rec.head, rng, checkpoint=per_ckpt
         )
         if "direct" in per_seq:
             result[rec.head] = per_seq["direct"]

@@ -99,3 +99,40 @@ def test_host_align_large_pair_fast():
     ref = at.align_local(q, t, at.blosum62(), 11.0, 2.0, backend="xla")
     assert res.alignment.f == ref.alignment.f
     assert np.array_equal(res.alignment.query, ref.alignment.query)
+
+
+def test_batch_align_pad_to_with_alignments(rng):
+    """pad_to padding (ql=tl=0, fy=fx=0) must not trip the native
+    traceback's empty-result check (ADVICE.md round-1 item): the padded
+    slots are internal and only the n_real alignments come back."""
+    import aligner_tpu as at
+    from aligner_tpu.align import batch_align
+
+    qs = [rng.integers(0, 24, 30).astype(np.int8) for _ in range(2)]
+    ts = [rng.integers(0, 24, 30).astype(np.int8) for _ in range(2)]
+    out = batch_align(
+        qs, ts, at.blosum62(), 11.0, 2.0,
+        mode="local", backend="xla", with_alignments=True, pad_to=8,
+    )
+    assert len(out) == 2
+    ref = batch_align(
+        qs, ts, at.blosum62(), 11.0, 2.0,
+        mode="local", backend="xla", with_alignments=True,
+    )
+    for a, b in zip(out, ref):
+        assert a.alignment.f == b.alignment.f
+        assert np.array_equal(a.alignment.query, b.alignment.query)
+        assert np.array_equal(a.alignment.target, b.alignment.target)
+        assert a.alignment.coords == b.alignment.coords
+    # global mode takes the tl/ql-seeded path — cover it too
+    outg = batch_align(
+        qs, ts, at.blosum62(), 11.0, 2.0,
+        mode="global", backend="xla", with_alignments=True, pad_to=8,
+    )
+    refg = batch_align(
+        qs, ts, at.blosum62(), 11.0, 2.0,
+        mode="global", backend="xla", with_alignments=True,
+    )
+    for a, b in zip(outg, refg):
+        assert np.array_equal(a.alignment.query, b.alignment.query)
+        assert a.alignment.coords == b.alignment.coords

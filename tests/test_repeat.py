@@ -1,6 +1,7 @@
 """Latent-repeat-search engine and CLI tests."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -176,7 +177,9 @@ def test_cli_align_blosum50_and_dna(tmp_path, capsys):
 
 def test_checkpoint_resume(tmp_path, rng):
     from aligner_tpu.repeat.engine import (
+        TaskResult,
         _load_checkpoint,
+        _save_checkpoint,
         perform_calculation_per_sequence,
     )
 
@@ -192,15 +195,82 @@ def test_checkpoint_resume(tmp_path, rng):
     )
     res1 = perform_calculation_per_sequence(opts, raw, "chr", rng,
                                             checkpoint=ckpt)
+    # the run completed → the checkpoint carries the final results and
+    # loads back as a dict of TaskResult
     state = _load_checkpoint(ckpt, "chr")
-    assert state is not None
-    cycle, mean, std, matrix, tasks = state
-    assert cycle >= 0 and matrix.shape == (4, 32)
-    # resume with the checkpoint: completed cycles are skipped, the run
-    # finishes and produces a result without redoing the starting scan
+    assert isinstance(state, dict) and "direct" in state
+    # resume skips the whole record and replays the stored results
     res2 = perform_calculation_per_sequence(opts, raw, "chr",
                                             np.random.default_rng(999),
                                             checkpoint=ckpt)
-    assert "direct" in res2
+    assert [(t.left_coord, t.right_coord, t.z) for t in res2["direct"].tasks] \
+        == [(t.left_coord, t.right_coord, t.z) for t in res1["direct"].tasks]
+    np.testing.assert_array_equal(res2["direct"].matrix, res1["direct"].matrix)
     # mismatched head → fresh run path (checkpoint ignored)
     assert _load_checkpoint(ckpt, "other") is None
+
+    # mid-run resume: rewrite the checkpoint as cycle-1 in-flight state
+    # and check it resumes from cycle 1 (not from scratch) and finishes
+    mid = _load_checkpoint(ckpt, "chr")["direct"]
+    _save_checkpoint(ckpt, "chr", 1, 10.0, 2.0, mid.matrix, mid.tasks)
+    cycle, mean, std, matrix, tasks = _load_checkpoint(ckpt, "chr")
+    assert cycle == 1 and mean == 10.0 and matrix.shape == (4, 32)
+    res3 = perform_calculation_per_sequence(opts, raw, "chr",
+                                            np.random.default_rng(7),
+                                            checkpoint=ckpt)
+    assert "direct" in res3
+    assert isinstance(_load_checkpoint(ckpt, "chr"), dict)
+
+
+def test_exploring_per_record_checkpoints(tmp_path, rng):
+    """Multi-record FASTA resume: each record gets its own checkpoint
+    file, and finished records are not redone (ADVICE.md round-1 item)."""
+    from aligner_tpu.repeat.engine import (
+        _record_checkpoint_path,
+        run_exploring_cmd,
+    )
+
+    def rand_dna(n, r):
+        return "".join("ATCG"[c] for c in r.integers(0, 4, n))
+
+    fa = tmp_path / "two.fasta"
+    fa.write_text(
+        f">recA\n{rand_dna(400, rng)}\n>recB\n{rand_dna(400, rng)}\n"
+    )
+    base = str(tmp_path / "state.json")
+    opts = SearchOptions(
+        repeat_length=24, query_offset=10, deletions=6.0, extension=2.0,
+        repeats=2, backend="xla",
+    )
+    res1 = run_exploring_cmd(opts, fa, np.random.default_rng(5),
+                             checkpoint=base)
+    pa = _record_checkpoint_path(base, "recA")
+    pb = _record_checkpoint_path(base, "recB")
+    assert pa != pb and os.path.exists(pa) and os.path.exists(pb)
+    # rerun: both records replay from their own completed checkpoints
+    res2 = run_exploring_cmd(opts, fa, np.random.default_rng(999),
+                             checkpoint=base)
+    for key in res1:
+        assert [(t.left_coord, t.z) for t in res2[key].tasks] == [
+            (t.left_coord, t.z) for t in res1[key].tasks
+        ]
+
+
+def test_filter_tasks_tie_break_last_max():
+    """Equal-z overlapping tasks: Rust Iterator::max_by returns the
+    *last* maximum (engine/mod.rs:93-99), so the survivor must be the
+    latest-sorted task of the batch."""
+    from aligner_tpu.repeat.engine import Task, filter_tasks
+
+    mk = lambda left, right, z: Task(  # noqa: E731
+        alignment=None, left_coord=left, right_coord=right, z=z, f=z
+    )
+    # three mutually overlapping tasks with identical z
+    tasks = [mk(0, 100, 5.0), mk(10, 110, 5.0), mk(20, 120, 5.0)]
+    out = filter_tasks(tasks)
+    assert len(out) == 1
+    assert out[0].left_coord == 20  # last maximum, not first
+    # tie on a later batch too, after a disjoint leading task
+    tasks = [mk(0, 10, 1.0), mk(50, 150, 2.0), mk(60, 160, 2.0)]
+    out = filter_tasks(tasks)
+    assert [t.left_coord for t in out] == [0, 60]
