@@ -75,12 +75,17 @@ def _estimate_k_and_lambda(qlen, tl, scores, old_k, old_lambda, h):
         s = (nn * e).sum()
         ws = (nn * scores * e).sum()
         ssum = scores.sum()
+        scores_sq = scores * scores
         for _ in range(MAXITER + 1):
             lam_f = np.float64(1.0) / lam - ssum / n + ws / s
+            # association follows mod.rs:150-152 exactly: powi(-2) is
+            # 1/(λ·λ), the middle term groups nn·(s²)·e, and powi(2) is
+            # u·u — ULP-identical to the Rust expression tree
+            wss = ws / s
             lam_fd = (
-                -(lam ** -2.0)
-                - (nn * scores * scores * e).sum() / s
-                + (ws / s) ** 2
+                -(np.float64(1.0) / (lam * lam))
+                - (nn * scores_sq * e).sum() / s
+                + wss * wss
             )
             if not (np.isfinite(lam_f) and np.isfinite(lam_fd)):
                 return float(k), float(lam)
@@ -110,7 +115,10 @@ def _estimate_h(qlen, tl, scores, k, lam, old_h):
             b = 1.0 / nn - k * np.exp(-lam * scores)
             c = -l / h
             h_g = (a * b * c).sum()
-            h_gd = (2.0 * b * c * c - (a * c / nn) ** 2 - 2.0 * a * b * c / h).sum()
+            # association follows mod.rs:213-216 exactly: (2·b)·(c²),
+            # (a·c/nn) squared by self-multiplication, ((2·a)·b·c)/h
+            u = a * c / nn
+            h_gd = (2.0 * b * (c * c) - u * u - 2.0 * a * b * c / h).sum()
         if abs(h_g) < THRESHOLD_LOCAL:
             return float(h)
         if h_gd > 0.0:
