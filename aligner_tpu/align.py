@@ -17,6 +17,7 @@ f64 oracle in ties — use ``dtype=jnp.float64`` on CPU for strict parity.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import numpy as np
@@ -27,6 +28,205 @@ from .backend import default_dtype, pick_backend
 from .errors import MatrixShapeError, ResultIsEmpty, UnnecessaryArgument, ValidationError
 from .result import Alignment, AlignmentResult, PWMAlignment
 from .traceback import traceback_global, traceback_local, traceback_pwm
+
+
+# ---------------------------------------------------------------------------
+# Automatic data-parallel sharding.  When more than one device is visible
+# (a TPU pod slice, or the CPU test mesh), every batched fill shards its
+# problem axis over a 1-D device mesh — this is how the reference's
+# thread fan-outs (statistics/mod.rs:253-291, engine/calc.rs:45-75) and
+# Kafka worker pool (node/main.rs) scale past one chip.  Per-problem
+# fills are independent, so sharded results are bit-identical to
+# single-device runs.  ALIGNER_AUTO_SHARD=0 disables (used by the
+# equality tests).
+# ---------------------------------------------------------------------------
+
+_DATA_MESH = None
+
+
+def _auto_shard_devices() -> int:
+    if os.environ.get("ALIGNER_AUTO_SHARD", "1") == "0":
+        return 1
+    import jax
+
+    return len(jax.devices())
+
+
+def _data_mesh():
+    global _DATA_MESH
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if _DATA_MESH is None or _DATA_MESH.devices.size != len(devs):
+        _DATA_MESH = Mesh(np.array(devs), ("data",))
+    return _DATA_MESH
+
+
+def _pad_batch_rows(arrs, B: int, Bp: int):
+    """Right-pad the batch axis of each array with zeros to Bp rows."""
+    out = []
+    for a in arrs:
+        if a is None or len(a) == Bp:
+            out.append(a)
+        else:
+            pad = [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1)
+            out.append(np.pad(a, pad))
+    return out
+
+
+def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
+                  backend, dtype, track_argmax, ndev):
+    """Data-sharded batched fill (scores-only or direction-plane mode).
+
+    Pads the batch to a device multiple with zero-length problems, runs
+    one per-shard kernel under shard_map, and reassembles a FillResult
+    identical to the single-device one (plane is never materialized —
+    batch consumers read only directions/scores).
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .ops.scan_engine import FillResult, fill_batch
+
+    mesh = _data_mesh()
+    B = q.shape[0]
+    Bp = -(-B // ndev) * ndev
+    matrix = np.asarray(matrix)
+    batched_mat = matrix.ndim == 3
+    q, ql, t, tl = _pad_batch_rows([q, ql, t, tl], B, Bp)
+    if batched_mat:
+        (matrix,) = _pad_batch_rows([matrix], B, Bp)
+    R_orig = t.shape[1]
+
+    packed = False
+    if backend == "pallas" and not batched_mat:
+        packed = bool(
+            np.all(matrix == np.round(matrix)) and np.abs(matrix).max() <= 127
+        )
+    mat_arg = jnp.asarray(
+        np.round(matrix).astype(np.int32) if packed else matrix,
+        jnp.int32 if packed else dtype,
+    )
+    mat_spec = P("data") if batched_mat else P()
+    n_out = 5 if with_planes else 4
+
+    def shard_fn(qs, qls, ts, tls, mat):
+        if backend == "pallas":
+            from .ops.pallas_dp import fill_full_traced, fill_scores_traced
+
+            if with_planes:
+                return fill_full_traced(
+                    qs, qls, ts, tls, mat, del_, ext,
+                    mode=mode, dtype=dtype, packed_lut=packed,
+                )
+            return fill_scores_traced(
+                qs, qls, ts, tls, mat, del_, ext,
+                mode=mode, dtype=dtype, packed_lut=packed,
+                track_argmax=track_argmax,
+            )
+        r = fill_batch(
+            qs, qls, ts, tls, mat, del_, ext,
+            mode=mode, with_planes=with_planes, dtype=dtype,
+        )
+        if with_planes:
+            return r.fmax, r.fy, r.fx, r.end, r.dirs
+        return r.fmax, r.fy, r.fx, r.end
+
+    step = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), mat_spec),
+        out_specs=tuple([P("data")] * n_out),
+        check_vma=False,
+    )
+    outs = step(
+        jnp.asarray(q, jnp.int32), jnp.asarray(ql, jnp.int32),
+        jnp.asarray(t, jnp.int32), jnp.asarray(tl, jnp.int32), mat_arg,
+    )
+    fmax, fy, fx, end = (o[:B] for o in outs[:4])
+    dirs = None
+    if with_planes:
+        if backend == "pallas":
+            from .ops.pallas_dp import dirs_from_packed
+
+            dirs = dirs_from_packed(np.asarray(outs[4])[:B], ql[:B], tl[:B], mode)
+            dirs = dirs[:, : R_orig + 1]  # drop the unroll padding rows
+        else:
+            dirs = np.asarray(outs[4])[:B]
+    return FillResult(plane=None, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
+
+
+def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
+                      ndev):
+    """Data-sharded PWM fill — the window-scan axis of the repeat search
+    (engine/calc.rs:45-75) sharded over the device mesh."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .ops.scan_engine import FillResult, fill_pwm_batch
+
+    mesh = _data_mesh()
+    B = q.shape[0]
+    Bp = -(-B // ndev) * ndev
+    pwm = np.asarray(pwm)
+    batched_mat = pwm.ndim == 3
+    q, ql = _pad_batch_rows([q, ql], B, Bp)
+    if batched_mat:
+        (pwm,) = _pad_batch_rows([pwm], B, Bp)
+    R_orig = q.shape[1]
+    W = pwm.shape[-1]
+    mat_spec = P("data") if batched_mat else P()
+    n_out = 5 if with_planes else 4
+
+    def shard_fn(qs, qls, mat):
+        if backend == "pallas":
+            from .ops.pallas_dp import (
+                fill_pwm_full_traced,
+                fill_pwm_scores_traced,
+            )
+
+            if with_planes:
+                return fill_pwm_full_traced(
+                    qs, qls, mat, del_, ext, dtype=dtype
+                )
+            return fill_pwm_scores_traced(
+                qs, qls, mat, del_, ext, dtype=dtype
+            )
+        r = fill_pwm_batch(
+            qs, qls, mat, del_, ext, with_planes=with_planes, dtype=dtype
+        )
+        if with_planes:
+            return r.fmax, r.fy, r.fx, r.end, r.dirs
+        return r.fmax, r.fy, r.fx, r.end
+
+    step = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), mat_spec),
+        out_specs=tuple([P("data")] * n_out),
+        check_vma=False,
+    )
+    outs = step(
+        jnp.asarray(q, jnp.int32), jnp.asarray(ql, jnp.int32),
+        jnp.asarray(pwm, dtype),
+    )
+    fmax, fy, fx, end = (o[:B] for o in outs[:4])
+    dirs = None
+    if with_planes:
+        if backend == "pallas":
+            from .ops.pallas_dp import dirs_from_packed
+
+            dirs = dirs_from_packed(
+                np.asarray(outs[4])[:B], np.full(B, W, np.int32), ql[:B],
+                "local",
+            )
+            dirs = dirs[:, : R_orig + 1]
+        else:
+            dirs = np.asarray(outs[4])[:B]
+    return FillResult(plane=None, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
 
 
 def _encode(seq, alphabet: type[Alphabet]) -> np.ndarray:
@@ -58,6 +258,15 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
     from .observability import measure
 
     cells = int((np.asarray(ql, np.int64) * np.asarray(tl, np.int64)).sum())
+    ndev = _auto_shard_devices()
+    if ndev > 1 and len(ql) > 1 and not scores_plane:
+        with measure(f"{backend}x{ndev}/{mode}", cells, len(ql)):
+            res = _fill_sharded(
+                q, ql, t, tl, matrix, del_, ext, mode, with_planes,
+                backend, dtype, track_argmax or with_planes, ndev,
+            )
+            res.fmax.block_until_ready()
+        return res
     with measure(f"{backend}/{mode}", cells, len(ql)):
         if backend == "pallas":
             from .ops.pallas_dp import fill_batch_pallas
@@ -86,6 +295,14 @@ def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
 
     width = np.asarray(pwm).shape[-1]
     cells = int(np.asarray(ql, np.int64).sum()) * int(width)
+    ndev = _auto_shard_devices()
+    if ndev > 1 and len(ql) > 1 and not scores_plane:
+        with measure(f"{backend}x{ndev}/pwm", cells, len(ql)):
+            res = _fill_pwm_sharded(
+                q, ql, pwm, del_, ext, with_planes, backend, dtype, ndev
+            )
+            res.fmax.block_until_ready()
+        return res
     with measure(f"{backend}/pwm", cells, len(ql)):
         if backend == "pallas":
             from .ops.pallas_dp import fill_pwm_batch_pallas

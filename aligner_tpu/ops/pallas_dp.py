@@ -463,6 +463,46 @@ def _wrapped_kernel(*refs, **kw):
     _kernel(refs, **kw)
 
 
+def _unpack_words_pm(w: np.ndarray, R: int, C: int) -> np.ndarray:
+    """Problem-major packed words (B, R//8, C) int32 → (B, R, C) uint8
+    direction codes.  Each packed word uses its low 2 bytes (8 codes × 2
+    bits); LUT256 maps a byte to its 4 codes in one gather."""
+    B = w.shape[0]
+    w8 = np.ascontiguousarray(w).view(np.uint8).reshape(B, R // 8, C, 4)[..., :2]
+    d = _UNPACK_LUT[w8]  # (B, R//8, C, 2, 4) u8
+    return np.transpose(d, (0, 1, 3, 4, 2)).reshape(B, R, C)
+
+
+def dirs_from_packed(w: np.ndarray, qlen, tlen, mode: str) -> np.ndarray:
+    """Problem-major packed direction words → (B, R+1, C+1) uint8 planes
+    with the reference border directions (simple/mod.rs:61,66)."""
+    B, R8, C = w.shape
+    R = R8 * 8
+    d = _unpack_words_pm(w, R, C)
+    qlen = np.asarray(qlen)
+    tlen = np.asarray(tlen)
+    dirs = np.full((B, R + 1, C + 1), np.uint8(BEG))
+    if mode == "global":
+        xs = np.arange(1, C + 1, dtype=np.int32)
+        ys = np.arange(1, R + 1, dtype=np.int32)
+        dirs[:, 0, 1:] = np.where(
+            xs[None, :] <= qlen[:, None], np.uint8(LEFT), np.uint8(BEG)
+        )
+        dirs[:, 1:, 0] = np.where(
+            ys[None, :] <= tlen[:, None], np.uint8(TOP), np.uint8(BEG)
+        )
+    dirs[:, 1:, 1:] = d
+    return dirs
+
+
+def _transpose_words_pm(w, NB, BS, C, R):
+    """Device-side: (NB*C, R//8, BS, LANES) column-major word stream →
+    (NB*BS*LANES, R//8, C) problem-major (cheap on device; the host then
+    moves only 2 bits per cell)."""
+    w = w.reshape(NB, C, R // 8, BS, LANES)
+    return jnp.transpose(w, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R // 8, C)
+
+
 def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, del_, dtype):
     """Packed direction/score streams → (B, R+1, C+1) planes with borders.
 
@@ -471,24 +511,14 @@ def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, d
     border assembly happen in NumPy on the host (the consumers — traceback
     walks — are host-side anyway).  ``interior_vals`` may be None
     (direction-only mode; returns plane=None)."""
-    @jax.jit
-    def _transpose_words(w):
-        w = w.reshape(NB, C, R // 8, BS, LANES)
-        return jnp.transpose(w, (0, 3, 4, 2, 1)).reshape(
-            NB * BS * LANES, R // 8, C
+    w = np.asarray(
+        jax.jit(_transpose_words_pm, static_argnums=(1, 2, 3, 4))(
+            interior_dirs, NB, BS, C, R
         )
-
-    w = np.ascontiguousarray(np.asarray(_transpose_words(interior_dirs))[:B])
-    # byte-LUT unpack: each packed word uses its low 2 bytes (8 codes × 2
-    # bits); LUT256 maps a byte to its 4 codes in one gather
-    w8 = w.view(np.uint8).reshape(B, R // 8, C, 4)[..., :2]
-    d = _UNPACK_LUT[w8]  # (B, R//8, C, 2, 4) u8
-    d = np.transpose(d, (0, 1, 3, 4, 2)).reshape(B, R, C)
+    )[:B]
     qlen = np.asarray(qlen)
     tlen = np.asarray(tlen)
-    ys = np.arange(1, R + 1, dtype=np.int32)
-    xs = np.arange(1, C + 1, dtype=np.int32)
-    dirs = np.full((B, R + 1, C + 1), np.uint8(BEG))
+    dirs = dirs_from_packed(w, qlen, tlen, mode)
     plane = None
     if interior_vals is not None:
         @jax.jit
@@ -500,14 +530,9 @@ def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, d
 
         v = np.asarray(_transpose_vals(interior_vals))[:B]
         plane = np.zeros((B, R + 1, C + 1), np.asarray(v).dtype)
-    if mode == "global":
-        dirs[:, 0, 1:] = np.where(
-            xs[None, :] <= qlen[:, None], np.uint8(LEFT), np.uint8(BEG)
-        )
-        dirs[:, 1:, 0] = np.where(
-            ys[None, :] <= tlen[:, None], np.uint8(TOP), np.uint8(BEG)
-        )
-        if plane is not None:
+        if mode == "global":
+            xs = np.arange(1, C + 1, dtype=np.int32)
+            ys = np.arange(1, R + 1, dtype=np.int32)
             fdt = plane.dtype
             qlf = qlen.astype(fdt)[:, None]
             tlf = tlen.astype(fdt)[:, None]
@@ -519,9 +544,7 @@ def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, d
                 ys[None, :] == tlen[:, None],
                 -(tlf + 1) * del_, -ys[None, :].astype(fdt) * del_,
             )
-    if plane is not None:
         plane[:, 1:, 1:] = v
-    dirs[:, 1:, 1:] = d
     return plane, dirs
 
 
@@ -700,13 +723,15 @@ def fill_scores_traced(
     packed_lut: bool = False,
     bs: int | None = None,
     interpret: bool | None = None,
+    track_argmax: bool = True,
 ):
     """Scores-only pallas fill, fully traceable (no host numpy) — for use
     inside jit/shard_map, one kernel per device shard.
 
     ``packed_lut`` must be decided by the caller (the matrix is traced
     here, so its values cannot be inspected); pass an int32 matrix with
-    it.  Returns (fmax, fy, fx, end) each of shape (B,).
+    it.  ``matrix`` may be (V, V) shared or (B, V, V) per-problem.
+    Returns (fmax, fy, fx, end) each of shape (B,).
     """
     q = jnp.asarray(q, jnp.int32)
     t = jnp.asarray(t, jnp.int32)
@@ -716,20 +741,126 @@ def fill_scores_traced(
         t = jnp.pad(t, ((0, 0), (0, 8 - R % 8)))
         R = t.shape[1]
     V = matrix.shape[-1]
-    BS = bs or min(_pick_bs(R, C, V, False, False), max(1, _cdiv(B, LANES)))
+    batched_mat = matrix.ndim == 3
+    BS = bs or min(
+        _pick_bs(R, C, V, False, batched_mat), max(1, _cdiv(B, LANES))
+    )
     NB = _cdiv(B, BS * LANES)
     q4 = _to_tiles_traced(q, NB, BS)
     t4 = _to_tiles_traced(t, NB, BS)
     ql4 = _to_tiles_traced(jnp.asarray(qlen, jnp.int32), NB, BS)
     tl4 = _to_tiles_traced(jnp.asarray(tlen, jnp.int32), NB, BS)
+    if batched_mat:
+        matrix = _to_tiles_traced(
+            jnp.asarray(matrix, dtype).reshape(B, V * V), NB, BS
+        )
     if interpret is None:
         interpret = not on_tpu()
     outs = _run(
         q4, t4, ql4, tl4, matrix, float(del_), float(ext),
         mode=mode, with_planes=False, dtype=dtype, interpret=interpret,
-        packed_lut=packed_lut,
+        packed_lut=packed_lut, track_argmax=track_argmax,
     )
     return tuple(o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
+
+
+def fill_full_traced(
+    q,
+    qlen,
+    t,
+    tlen,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    mode: str = "local",
+    dtype=jnp.float32,
+    packed_lut: bool = False,
+    bs: int | None = None,
+    interpret: bool | None = None,
+):
+    """Full-mode (direction-plane) pallas fill, fully traceable — for
+    jit/shard_map.  Returns (fmax, fy, fx, end, words) where ``words`` is
+    the problem-major 2-bit-packed direction stream (B, R8//8, C) int32
+    with R8 = R rounded up to 8; unpack host-side with
+    :func:`dirs_from_packed`.  ``matrix`` may be (V, V) or (B, V, V).
+    """
+    q = jnp.asarray(q, jnp.int32)
+    t = jnp.asarray(t, jnp.int32)
+    B, C = q.shape
+    R = t.shape[1]
+    if R % 8:
+        t = jnp.pad(t, ((0, 0), (0, 8 - R % 8)))
+        R = t.shape[1]
+    V = matrix.shape[-1]
+    batched_mat = matrix.ndim == 3
+    BS = bs or min(
+        _pick_bs(R, C, V, True, batched_mat, scores_plane=False),
+        max(1, _cdiv(B, LANES)),
+    )
+    NB = _cdiv(B, BS * LANES)
+    q4 = _to_tiles_traced(q, NB, BS)
+    t4 = _to_tiles_traced(t, NB, BS)
+    ql4 = _to_tiles_traced(jnp.asarray(qlen, jnp.int32), NB, BS)
+    tl4 = _to_tiles_traced(jnp.asarray(tlen, jnp.int32), NB, BS)
+    if batched_mat:
+        matrix = _to_tiles_traced(
+            jnp.asarray(matrix, dtype).reshape(B, V * V), NB, BS
+        )
+    if interpret is None:
+        interpret = not on_tpu()
+    outs = _run(
+        q4, t4, ql4, tl4, matrix, float(del_), float(ext),
+        mode=mode, with_planes=True, dtype=dtype, interpret=interpret,
+        packed_lut=packed_lut, with_scores_plane=False,
+    )
+    fmax, fy, fx, end = (o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
+    words = _transpose_words_pm(outs[4], NB, BS, C, R)[:B]
+    return fmax, fy, fx, end, words
+
+
+def fill_pwm_full_traced(
+    q,
+    qlen,
+    pwm,
+    del_: float,
+    ext: float,
+    *,
+    dtype=jnp.float32,
+    bs: int | None = None,
+    interpret: bool | None = None,
+):
+    """Traceable full-mode PWM fill (shared or (B, 4, W) batched PWM) —
+    returns (fmax, fy, fx, end, words) like :func:`fill_full_traced`
+    with plane dims (qlen+1, W+1)."""
+    q = jnp.asarray(q, jnp.int32)
+    B, R = q.shape
+    if R % 8:
+        q = jnp.pad(q, ((0, 0), (0, 8 - R % 8)))
+        R = q.shape[1]
+    W = pwm.shape[-1]
+    batched_mat = pwm.ndim == 3
+    BS = bs or min(
+        _pick_bs(R, W, 4, True, batched_mat, scores_plane=False),
+        max(1, _cdiv(B, LANES)),
+    )
+    NB = _cdiv(B, BS * LANES)
+    t4 = _to_tiles_traced(q, NB, BS)
+    tl4 = _to_tiles_traced(jnp.asarray(qlen, jnp.int32), NB, BS)
+    if batched_mat:
+        pwm = _to_tiles_traced(jnp.asarray(pwm, dtype).reshape(B, 4 * W), NB, BS)
+    else:
+        pwm = jnp.asarray(pwm, dtype)
+    if interpret is None:
+        interpret = not on_tpu()
+    outs = _run(
+        None, t4, None, tl4, pwm, float(del_), float(ext),
+        mode="pwm", with_planes=True, dtype=dtype, interpret=interpret,
+        with_scores_plane=False,
+    )
+    fmax, fy, fx, end = (o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
+    words = _transpose_words_pm(outs[4], NB, BS, W, R)[:B]
+    return fmax, fy, fx, end, words
 
 
 def fill_pwm_scores_traced(
@@ -744,17 +875,23 @@ def fill_pwm_scores_traced(
     bs: int | None = None,
     interpret: bool | None = None,
 ):
-    """Traceable scores-only PWM fill (shared PWM) for jit/shard_map."""
+    """Traceable scores-only PWM fill (shared or (B, 4, W) batched PWM)
+    for jit/shard_map."""
     q = jnp.asarray(q, jnp.int32)
     B, R = q.shape
     if R % 8:
         q = jnp.pad(q, ((0, 0), (0, 8 - R % 8)))
         R = q.shape[1]
     W = pwm.shape[-1]
-    BS = bs or min(_pick_bs(R, W, 4, False, False), max(1, _cdiv(B, LANES)))
+    batched_mat = pwm.ndim == 3
+    BS = bs or min(
+        _pick_bs(R, W, 4, False, batched_mat), max(1, _cdiv(B, LANES))
+    )
     NB = _cdiv(B, BS * LANES)
     t4 = _to_tiles_traced(q, NB, BS)
     tl4 = _to_tiles_traced(jnp.asarray(qlen, jnp.int32), NB, BS)
+    if batched_mat:
+        pwm = _to_tiles_traced(jnp.asarray(pwm, dtype).reshape(B, 4 * W), NB, BS)
     if interpret is None:
         interpret = not on_tpu()
     outs = _run(

@@ -53,7 +53,8 @@ def test_search_scores_match_singles(rng):
         assert h.score == single.alignment.f
 
 
-def test_counters_record(rng):
+def test_counters_record(rng, monkeypatch):
+    monkeypatch.setenv("ALIGNER_AUTO_SHARD", "0")
     counters.reset()
     M = at.blosum62()
     qs = [rng.integers(0, 24, 16).astype(np.int8) for _ in range(4)]
