@@ -49,6 +49,11 @@ def _auto_shard_devices() -> int:
         return 1
     import jax
 
+    if jax.process_count() > 1:
+        # multi-controller: batches here are per-process (hosts scale via
+        # the work queue / multihost.shard_local_batch), so the implicit
+        # single-controller sharding must stay local
+        return len(jax.local_devices())
     return len(jax.devices())
 
 
@@ -57,7 +62,9 @@ def _data_mesh():
     import jax
     from jax.sharding import Mesh
 
-    devs = jax.devices()
+    devs = (
+        jax.local_devices() if jax.process_count() > 1 else jax.devices()
+    )
     if _DATA_MESH is None or _DATA_MESH.devices.size != len(devs):
         _DATA_MESH = Mesh(np.array(devs), ("data",))
     return _DATA_MESH

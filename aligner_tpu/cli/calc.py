@@ -14,7 +14,7 @@ import sys
 
 import numpy as np
 
-from ..service.store import Store
+from ..service.store import Store, open_store
 from ..statistics import calculate_p_value
 
 
@@ -42,7 +42,7 @@ def main(argv=None):
     ap.add_argument("--backend", default=None, choices=["oracle", "xla", "pallas"])
     ap.add_argument("--sequences", type=int, default=5000)
     args = ap.parse_args(argv)
-    store = Store(args.db)
+    store = open_store(args.db)
     n = run_once(
         store, rng=np.random.default_rng(args.seed), backend=args.backend,
         n_sequences=args.sequences,

@@ -33,8 +33,8 @@ from ..alphabet import Protein
 from ..errors import ValidationError
 from ..io import read_fasta
 from .models import AlignJob, AlignJobRequest, task_hash
-from .queue import JobQueue
-from .store import Store, get_population
+from .queue import JobQueue, open_queue
+from .store import Store, open_store, get_population
 
 TOPIC_JOBS = "aligner.jobs"
 GROUP = "aligner.jobs.group"
@@ -67,8 +67,8 @@ def symbol_frequencies(seq1: str, seq2: str, dim: int) -> np.ndarray:
 class Dispatcher:
     def __init__(self, store: Store | None = None, queue: JobQueue | None = None,
                  rng: np.random.Generator | None = None):
-        self.store = store or Store()
-        self.queue = queue or JobQueue()
+        self.store = store or open_store()
+        self.queue = queue or open_queue()
         self.rng = rng or np.random.default_rng()
 
     # --- handlers ---

@@ -42,6 +42,19 @@ _SCHEMA = [
 HEALTH_WINDOW = 15.0  # seconds of silence before a consumer drops out
 
 
+def open_queue(path: str | None = None):
+    """Local sqlite JobQueue, or a RemoteQueue against the host-0 state
+    endpoint when the path is an http(s) URL (the multi-host replacement
+    for the reference's Kafka broker, config/node/dev.env)."""
+    import os as _os
+
+    from .netstate import RemoteQueue, is_url
+    from .store import default_db_path
+
+    path = path or _os.environ.get("ALIGNER_QUEUE", default_db_path())
+    return RemoteQueue(path) if is_url(path) else JobQueue(path)
+
+
 class JobQueue:
     def __init__(self, path: str | None = None):
         from .store import default_db_path

@@ -72,6 +72,17 @@ def default_db_path() -> str:
     return os.environ.get("ALIGNER_DB", os.path.join(os.getcwd(), "aligner.db"))
 
 
+def open_store(path: str | None = None):
+    """Local sqlite Store, or a :class:`~.netstate.RemoteStore` when the
+    path is an http(s) URL (the host-0 state endpoint — the multi-host
+    replacement for the reference's network-reachable MariaDB,
+    repository/mod.rs:278-334)."""
+    path = path or default_db_path()
+    from .netstate import RemoteStore, is_url
+
+    return RemoteStore(path) if is_url(path) else Store(path)
+
+
 class Store:
     """Connector equivalent (repository/mod.rs)."""
 

@@ -6,12 +6,12 @@ progress SSE handler performs the same promotion inline)."""
 
 from __future__ import annotations
 
-from .store import Store
+from .store import Store, open_store
 
 
 def run_once(store: Store | None = None) -> int:
     """One pass; returns the number of promoted tasks (updater.rs:12-29)."""
-    store = store or Store()
+    store = store or open_store()
     promoted = 0
     for hash_ in store.get_all_unfinished_hashes():
         if store.promote_if_complete(hash_):

@@ -32,8 +32,8 @@ from ..alphabet import Protein
 from ..heuristic import Heuristics, heuristic_align_population
 from .dispatcher import GROUP, TOPIC_JOBS
 from .models import AlignJob
-from .queue import JobQueue
-from .store import Store
+from .queue import JobQueue, open_queue
+from .store import Store, open_store
 
 
 class Worker:
@@ -45,8 +45,11 @@ class Worker:
         batch: int = 64,
         backend: str | None = None,
     ):
-        self.store = store or Store()
-        self.queue = queue or JobQueue()
+        # ALIGNER_DB may be an http:// URL: then this worker talks to the
+        # host-0 state endpoint and joining is just "start the process on
+        # another machine" (the reference's add-a-Kafka-consumer property)
+        self.store = store or open_store()
+        self.queue = queue or open_queue()
         self.name = self.queue.register_consumer(GROUP, name)
         self.batch = batch
         self.backend = backend
@@ -124,8 +127,13 @@ def main(argv=None):
     ap.add_argument("--name", default=None)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--backend", default=None, choices=["oracle", "xla", "pallas"])
+    ap.add_argument("--poll-interval", type=float, default=0.5)
+    ap.add_argument("--max-batches", type=int, default=None,
+                    help="exit after N poll cycles (tests/bounded runs)")
     args = ap.parse_args(argv)
-    Worker(name=args.name, batch=args.batch, backend=args.backend).run_forever()
+    Worker(name=args.name, batch=args.batch, backend=args.backend).run_forever(
+        poll_interval=args.poll_interval, max_batches=args.max_batches
+    )
     return 0
 
 

@@ -1,28 +1,73 @@
 #!/usr/bin/env bash
-# Launch the aligner service across a TPU pod slice.
+# Launch the aligner service across hosts (a TPU pod slice or plain
+# machines).
 #
-# Replaces the reference's docker-compose (Zookeeper + Kafka + MariaDB +
-# node containers): one worker process per host, all joining the same JAX
-# mesh; the dispatcher runs on host 0.  Work intake and the results store
-# ride a shared ALIGNER_DB (any network filesystem or a host-0 export);
-# device-side merging uses ICI collectives, not the queue.
+# Replaces the reference's docker-compose stack (Zookeeper + Kafka +
+# MariaDB + node containers, /root/reference/docker-compose.yml): host 0
+# runs the state endpoint — the work queue and results store served over
+# HTTP from its local sqlite (the Kafka/MariaDB replacement) — plus the
+# dispatcher HTTP API; every host runs a worker.  Remote hosts reach the
+# state over the network, so adding a machine is just running this
+# script with the next index (the reference's add-a-consumer property,
+# node/main.rs:32-44).  No shared filesystem is involved.
 #
 # Usage:
 #   deploy/launch_pod.sh <num_hosts> <this_host_index> <coordinator_ip>
+#
+# Env overrides:
+#   ALIGNER_DB          host-0 sqlite path (default /srv/aligner/aligner.db)
+#   ALIGNER_STATE_PORT  state endpoint port        (default 3031)
+#   ALIGNER_HTTP_PORT   dispatcher API port        (default 3030)
+#   ALIGNER_WORKER_ARGS extra args for the worker  (e.g. test bounds)
+#   ALIGNER_LOG         log level                  (default info)
 set -euo pipefail
 
 NUM_HOSTS="${1:?num_hosts}"
 HOST_INDEX="${2:?host_index}"
 COORDINATOR="${3:?coordinator_ip}"
 
-export ALIGNER_NUM_PROCESSES="$NUM_HOSTS"
-export ALIGNER_PROCESS_ID="$HOST_INDEX"
-export ALIGNER_COORDINATOR="${COORDINATOR}:8476"
-export ALIGNER_DB="${ALIGNER_DB:-/srv/aligner/aligner.db}"
+STATE_PORT="${ALIGNER_STATE_PORT:-3031}"
+HTTP_PORT="${ALIGNER_HTTP_PORT:-3030}"
 export ALIGNER_LOG="${ALIGNER_LOG:-info}"
 
 if [ "$HOST_INDEX" = "0" ]; then
-  python -m aligner_tpu.service.dispatcher --host 0.0.0.0 --port 3030 &
+  export ALIGNER_DB="${ALIGNER_DB:-/srv/aligner/aligner.db}"
+  mkdir -p "$(dirname "$ALIGNER_DB")"
+  python -m aligner_tpu.service.netstate \
+    --host 0.0.0.0 --port "$STATE_PORT" --db "$ALIGNER_DB" &
+  # wait for the state endpoint before starting consumers
+  python - "$STATE_PORT" <<'PY'
+import sys, time, urllib.request
+port = sys.argv[1]
+for _ in range(100):
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=1)
+        break
+    except Exception:
+        time.sleep(0.2)
+else:
+    raise SystemExit("state endpoint did not come up")
+PY
+  python -m aligner_tpu.service.dispatcher \
+    --host 0.0.0.0 --port "$HTTP_PORT" &
+else
+  # remote host: all state lives behind the host-0 endpoint
+  export ALIGNER_DB="http://${COORDINATOR}:${STATE_PORT}"
+  # wait for host 0's endpoint before the worker registers
+  python - "$ALIGNER_DB" <<'PY'
+import sys, time, urllib.request
+url = sys.argv[1]
+for _ in range(300):
+    try:
+        urllib.request.urlopen(f"{url}/healthz", timeout=1)
+        break
+    except Exception:
+        time.sleep(0.5)
+else:
+    raise SystemExit(f"state endpoint {url} did not come up")
+PY
 fi
 
-exec python -m aligner_tpu.service.worker --name "node-host${HOST_INDEX}"
+# shellcheck disable=SC2086
+exec python -m aligner_tpu.service.worker \
+  --name "node-host${HOST_INDEX}" ${ALIGNER_WORKER_ARGS:-}

@@ -1,0 +1,71 @@
+"""Subprocess body for the 2-process jax.distributed test.
+
+Run as: python multihost_proc.py <outfile>
+with ALIGNER_COORDINATOR / ALIGNER_PROCESS_ID / ALIGNER_NUM_PROCESSES set
+(the deploy/aligner.env contract).  Exercises the real multihost helpers:
+initialize_from_env → global_mesh → process_span → shard_local_batch →
+sharded_scores, then process 0 writes the gathered scores as JSON.
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("ALIGNER_PLATFORM", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from aligner_tpu.parallel import multihost  # noqa: E402
+from aligner_tpu.parallel.mesh import sharded_scores  # noqa: E402
+
+
+def main() -> int:
+    outfile = sys.argv[1]
+    multihost.initialize_from_env()
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4  # 2 hosts x 2 local devices
+
+    mesh = multihost.global_mesh()
+
+    # deterministic global problem batch, same on every process
+    rng = np.random.default_rng(7)
+    B, L = 16, 24
+    q = rng.integers(0, 24, (B, L)).astype(np.int32)
+    t = rng.integers(0, 24, (B, L)).astype(np.int32)
+    ql = np.full(B, L, np.int32)
+    tl = np.full(B, L, np.int32)
+    from aligner_tpu.matrices import blosum62
+
+    mat = np.asarray(blosum62(), np.float32)
+
+    # each process contributes only its own slice (the host work feed)
+    lo, hi = multihost.process_span(B)
+    qg = multihost.shard_local_batch(mesh, "data", q[lo:hi])
+    tg = multihost.shard_local_batch(mesh, "data", t[lo:hi])
+    qlg = multihost.shard_local_batch(mesh, "data", ql[lo:hi])
+    tlg = multihost.shard_local_batch(mesh, "data", tl[lo:hi])
+
+    fmax, fy, fx, end = sharded_scores(
+        mesh, qg, qlg, tg, tlg, mat, 11.0, 2.0, mode="local", engine="xla"
+    )
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(
+        multihost_utils.process_allgather(fmax, tiled=True)
+    )
+    if jax.process_index() == 0:
+        with open(outfile, "w") as fh:
+            json.dump({"fmax": gathered.tolist(), "span": [lo, hi]}, fh)
+    multihost_utils.sync_global_devices("done")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
