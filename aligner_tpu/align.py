@@ -358,12 +358,41 @@ def align_global(
     dtype=None,
     keep_planes: bool = False,
 ) -> AlignmentResult:
-    """Global (NW-style) alignment of one pair (simple/mod.rs:42-144)."""
+    """Global (NW-style) alignment of one pair (simple/mod.rs:42-144).
+
+    Huge single pairs (beyond the host engine's sweet spot) route to the
+    row-scan wavefront kernel on TPU automatically when the matrix and
+    penalties are integral — exact in global mode because the penalty is
+    constant ``ext`` after cell (1,1) (SURVEY.md §2.3.3); force it with
+    ``backend="wavefront"``.
+    """
     q = _encode(query, alphabet)
     t = _encode(target, alphabet)
     if len(q) == 0 or len(t) == 0:
         raise ResultIsEmpty("empty sequence")
-    backend = pick_backend(backend, cells=len(q) * len(t))
+    cells = len(q) * len(t)
+    use_wavefront = False
+    if backend == "wavefront" or backend in (None, "auto"):
+        from .backend import SMALL_PROBLEM_CELLS_NATIVE, on_tpu
+        from .ops import wavefront as _wf
+
+        if _wf.supported(len(q), np.asarray(matrix), del_, ext):
+            use_wavefront = backend == "wavefront" or (
+                on_tpu() and cells > SMALL_PROBLEM_CELLS_NATIVE
+            )
+    if use_wavefront:
+        _, wf_dirs = _wf.fill_single_global(q, t, np.asarray(matrix), del_, ext)
+        qa, ta, coords = traceback_global(wf_dirs, q, t)
+        aln = Alignment(qa, ta, coords, 0.0, alphabet)
+        return AlignmentResult(
+            aln, directions=wf_dirs if keep_planes else None
+        )
+    if backend == "wavefront":
+        raise ValidationError(
+            "wavefront backend requires an integral matrix/penalties and "
+            "qlen within its width cap"
+        )
+    backend = pick_backend(backend, cells=cells)
     if backend == "oracle":
         r = host.align_global(q, t, np.asarray(matrix), del_, ext)
         aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)

@@ -31,8 +31,9 @@ Design (see ops/scan_engine.py for why the batch is the parallel axis):
 
 Semantics are bit-identical to the scalar oracle (tests fuzz every mode in
 interpret mode and on hardware); f32 is exact for integer-valued matrices.
-Measured: ~300 GCUPS protein / ~320 GCUPS DNA on one v5e chip
-(docs/PERF_NOTES.md).
+Measured: ~103 GCUPS protein / ~175 GCUPS DNA on one v5e chip
+(marginal per-launch rate; docs/PERF_NOTES.md — round-1 reported ~3×
+higher because the benchmark chain was CSE-eliminated).
 """
 
 from __future__ import annotations
@@ -139,28 +140,24 @@ def _kernel(
     # --- score column: s[y] = matrix[t[y], q[x]] (or pwm[t[y], x]) ---
     tall = t_ref[:]  # (R, BS, 128) i32
     if packed_lut:
-        # Integral shared matrix (|entries| <= 127): build the per-column
-        # LUT as int32, pack 4 biased bytes per word, and extract per cell
-        # with a variable shift — ~19 int ops/cell instead of 2V float ops
-        # (docs/PERF_NOTES.md #1).  mat_ref holds int32 entries here.
+        # Integral shared matrix (|entries| <= 127): mat_ref holds the
+        # column-packed words (n_words, V) int32 — word g of matrix
+        # column j is the 4 biased bytes mat[4g..4g+3, j] — precomputed
+        # once in _run, so the per-column build here is just a V-way
+        # select per word (~V + n_words·V ops instead of ~V² + pack).
+        # Extraction per cell stays the 6-way word select + variable
+        # shift (~15 int ops/cell) — the largest per-cell op block
+        # (docs/PERF_NOTES.md cost model).
         qx = q_ref[0]  # (BS, 128) i32
         ohs_i = [(qx == j).astype(jnp.int32) for j in range(V)]
-        lut_i = [
+        n_words = _cdiv(V, 4)
+        packed = [
             functools.reduce(
                 lambda a, b: a + b,
-                [mat_ref[v, j] * ohs_i[j] for j in range(V)],
+                [mat_ref[g, j] * ohs_i[j] for j in range(V)],
             )
-            for v in range(V)
+            for g in range(n_words)
         ]
-        n_words = _cdiv(V, 4)
-        packed = []
-        for g in range(n_words):
-            w = jnp.zeros((BS, LANES), jnp.int32)
-            for k in range(4):
-                v = 4 * g + k
-                if v < V:
-                    w = w + ((lut_i[v] + 128) << (8 * k))
-            packed.append(w)
         grp = tall >> 2
         for g in range(n_words):
             term = packed[g][None] * (grp == g).astype(jnp.int32)
@@ -372,6 +369,19 @@ def _run(
     else:
         V = mat.shape[-1] if not batched_mat else int(round(np.sqrt(mat.shape[0] // NB)))
         C = q4.shape[0] // NB
+    if packed_lut:
+        # pre-pack the (V, V) int32 matrix by columns: word g of column
+        # j holds the biased bytes mat[4g..4g+3, j] (int32 shifts wrap,
+        # matching the kernel's arithmetic-shift + mask extraction)
+        rows = []
+        for g in range(_cdiv(V, 4)):
+            w = jnp.zeros((mat.shape[1],), jnp.int32)
+            for k in range(4):
+                v = 4 * g + k
+                if v < V:
+                    w = w + ((mat[v] + 128) << (8 * k))
+            rows.append(w)
+        mat = jnp.stack(rows)  # (n_words, V)
 
     grid = (NB, C)
     in_specs = []

@@ -1,0 +1,357 @@
+"""Single-pair global-alignment row-scan kernel (huge pairs on device).
+
+The batched engines parallelize over *problems*; a single chromosome-
+scale pair has no batch axis, and its local-mode fill is inherently
+sequential (the del/ext penalty state chains cell to cell, SURVEY.md
+§2.3.3).  In **global** mode, however, the survey's closed form holds:
+``get_direction`` never returns Beginning (enums.rs:18-28), so the
+penalty is ``del`` for cell (1,1) only and ``ext`` everywhere else
+(simple/mod.rs:72,88-92).  That makes the recurrence
+
+    H[y,x] = max(H[y-1,x-1] + s, H[y-1,x] - ext, H[y,x-1] - ext)
+
+a plain linear-gap DP whose *row* can be computed in parallel: with
+``M[x] = max(H[y-1,x-1] + s[x], H[y-1,x] - ext)`` (vertical/diagonal
+terms only), the horizontal chain is a max-prefix-scan,
+
+    H[y,x] = max_{j<=x} (M'[j] - (x-j)*ext)
+           = prefix_max(M' + j*ext)[x] - x*ext,
+
+computed in log2(C) vector steps.  Cell (1,1) (and the left border fold)
+is patched into ``M'`` before the scan, so the result is cell-for-cell
+identical to the reference fill — directions are then re-derived from
+the finished values with the exact tie policy (top > left > diagonal).
+
+Arithmetic is **int32** (requires an integral matrix and integral
+del/ext — the BLOSUM paths; |H| must stay < 2^30), which makes the fill
+bit-exact against the float64 oracle.  Directions stream to HBM packed
+16 rows per int32 word (2 bits/cell); scores-only mode writes nothing.
+
+Layout: a row of C cells lives in one (S, 128) register tile
+(S = ceil(C/128) sublanes); the grid walks row-blocks of TR rows, with
+the previous row carried in VMEM scratch.  Width is VMEM-bound at
+roughly C <= 256k (the packed score-word table is 24C bytes); length R
+is unbounded.  Cites: simple/mod.rs:42-144 (global fill + borders),
+enums.rs:18-28 (tie policy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..backend import on_tpu
+from .scan_engine import BEG, DIAG, LEFT, TOP
+
+LANES = 128
+NEG = -(2**30)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _flat_shift_right(x, fill, S):
+    """Flattened shift by one: out[j] = x[j-1], out[0] = fill, where j is
+    the row-major (sublane, lane) index of an (S, 128) tile."""
+    sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    rolled = pltpu.roll(x, shift=1, axis=1)  # lane 0 <- lane 127 (same sublane)
+    carry = pltpu.roll(rolled, shift=1, axis=0)  # previous sublane's lane 127
+    out = jnp.where(lane == 0, carry, rolled)
+    return jnp.where((lane == 0) & (sub == 0), fill, out)
+
+
+def _prefix_max_flat(x, S):
+    """Inclusive max-prefix-scan over the flattened (S, 128) tile."""
+    lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    k = 1
+    while k < LANES:
+        sh = pltpu.roll(x, shift=k, axis=1)
+        x = jnp.where(lane >= k, jnp.maximum(x, sh), x)
+        k *= 2
+    if S > 1:
+        sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+        # chunk totals live in lane 127; scan them across sublanes
+        tot = jnp.broadcast_to(x[:, LANES - 1 :], (S, LANES))
+        k = 1
+        while k < S:
+            sh = pltpu.roll(tot, shift=k, axis=0)
+            tot = jnp.where(sub >= k, jnp.maximum(tot, sh), tot)
+            k *= 2
+        excl = pltpu.roll(tot, shift=1, axis=0)  # exclusive: previous chunks
+        x = jnp.where(sub > 0, jnp.maximum(x, excl), x)
+    return x
+
+
+ROWS_PER_WORD = 16  # 2-bit direction codes packed along the row axis
+
+
+def _kernel(
+    q_ref,  # (S, 128) i32 query codes (VMEM), padded with V
+    t_ref,  # (1, 1, TR) i32 target codes for this row block (SMEM)
+    pmat_ref,  # (n_words, V) i32 column-packed matrix (SMEM)
+    end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen]
+    *refs,
+    S: int,
+    TR: int,
+    V: int,
+    C_real: int,
+    R_real: int,
+    del_: int,
+    ext: int,
+    with_dirs: bool,
+):
+    if with_dirs:
+        dirs_ref = refs[0]
+        refs = refs[1:]
+    h_ref, pw_ref, xp_ref = refs
+    i = pl.program_id(0)
+    n_words = _cdiv(V, 4)
+    P = jnp.int32(ext)
+    DEL = jnp.int32(del_)
+    sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    flat = sub * LANES + lane  # j = x - 1
+
+    @pl.when(i == 0)
+    def _init():
+        # H[0, x] = -x*del, far corner H[0, qlen] = -(qlen+1)*del
+        # (simple/mod.rs:59-70)
+        x1 = flat + 1
+        h_ref[:] = jnp.where(
+            x1 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x1 * DEL
+        )
+        # packed score words by query symbol: pw[g][x] = the 4 biased
+        # bytes mat[4g..4g+3, q[x]] (built once; V² work amortized over R)
+        qx = q_ref[:]
+        for g in range(n_words):
+            w = jnp.zeros((S, LANES), jnp.int32)
+            for v in range(V):
+                w = w + pmat_ref[g, v] * (qx == v).astype(jnp.int32)
+            pw_ref[g] = w
+        xp_ref[:] = x1 * P
+
+    xp = xp_ref[:]
+
+    def border(y):
+        # H[y, 0] = -y*del, far corner H[tlen, 0] = -(tlen+1)*del
+        return jnp.where(
+            y == R_real, -(jnp.int32(R_real) + 1) * DEL, -y * DEL
+        )
+
+    def row(r, word):
+        y = i * TR + r + 1  # 1-based absolute row
+        ty = t_ref[0, 0, r]
+        w = pw_ref[ty >> 2]
+        srow = ((w >> ((ty & 3) * 8)) & 255) - 128
+        prev = h_ref[:]
+        bprev = border(y - 1)
+        bcur = border(y)
+        diag = _flat_shift_right(prev, bprev, S)
+        dv = diag + srow
+        m0 = jnp.maximum(dv, prev - P)
+        first = flat == 0  # x == 1
+        # fold the left border into x=1; cell (1,1) is the only cell
+        # whose penalty is del (the very first cell in fill order)
+        is_row1 = y == 1
+        pen1 = jnp.where(is_row1, DEL, P)
+        a = jnp.where(
+            first,
+            jnp.maximum(
+                jnp.where(is_row1, jnp.maximum(dv, prev - pen1), m0),
+                bcur - pen1,
+            ),
+            m0,
+        )
+        t_ = a + xp
+        h = _prefix_max_flat(t_, S) - xp
+        h_ref[:] = h
+        @pl.when(y == R_real)
+        def _end():
+            j0 = C_real - 1
+            end_ref[0, 0] = h[j0 // LANES, j0 % LANES]
+        if with_dirs:
+            pen_d = jnp.where(is_row1 & first, DEL, P)
+            top = prev - pen_d
+            leftv = _flat_shift_right(h, bcur, S) - pen_d
+            # exact tie policy on integers: m - v < eps  <=>  m <= v
+            d = jnp.where(
+                h <= top,
+                jnp.int32(TOP),
+                jnp.where(h <= leftv, jnp.int32(LEFT), jnp.int32(DIAG)),
+            )
+            word = word | (d << (2 * (r % ROWS_PER_WORD)))
+            @pl.when(r % ROWS_PER_WORD == ROWS_PER_WORD - 1)
+            def _store():
+                dirs_ref[r // ROWS_PER_WORD] = word
+            word = jnp.where(r % ROWS_PER_WORD == ROWS_PER_WORD - 1, 0, word)
+        return word
+
+    lax.fori_loop(0, TR, row, jnp.zeros((S, LANES), jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "with_dirs",
+        "interpret",
+    ),
+)
+def _run(
+    q_tile,  # (S, 128) i32
+    t_blocks,  # (R_pad//TR, 1, TR) i32
+    pmat,  # (n_words, V) i32
+    *,
+    S: int,
+    TR: int,
+    V: int,
+    C_real: int,
+    R_real: int,
+    del_: int,
+    ext: int,
+    with_dirs: bool,
+    interpret: bool,
+):
+    n_blocks = t_blocks.shape[0]
+    kernel = functools.partial(
+        _kernel,
+        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
+        del_=del_, ext=ext, with_dirs=with_dirs,
+    )
+    in_specs = [
+        pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, TR), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+    out_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ]
+    if with_dirs:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (n_blocks * (TR // ROWS_PER_WORD), S, LANES), jnp.int32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (TR // ROWS_PER_WORD, S, LANES), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    n_words = _cdiv(V, 4)
+    scratch = [
+        pltpu.VMEM((S, LANES), jnp.int32),  # carried previous row
+        pltpu.VMEM((n_words, S, LANES), jnp.int32),  # packed score words
+        pltpu.VMEM((S, LANES), jnp.int32),  # (x)*ext offsets
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(q_tile, t_blocks, pmat)
+
+
+def _integral_int8(matrix, del_, ext) -> bool:
+    m = np.asarray(matrix)
+    return bool(
+        np.all(m == np.round(m))
+        and np.abs(m).max() <= 127
+        and float(del_) == int(del_)
+        and float(ext) == int(ext)
+    )
+
+
+MAX_WIDTH = 256 * 1024  # VMEM bound: packed words are 24C bytes
+
+
+def supported(qlen: int, matrix, del_, ext) -> bool:
+    return qlen <= MAX_WIDTH and _integral_int8(matrix, del_, ext)
+
+
+def fill_single_global(
+    q: np.ndarray,
+    t: np.ndarray,
+    matrix: np.ndarray,
+    del_: float,
+    ext: float,
+    *,
+    with_dirs: bool = True,
+    tr: int = 64,
+    interpret: bool | None = None,
+):
+    """Exact global fill of ONE (query, target) pair on device.
+
+    Returns ``(end_score, dirs)`` where ``dirs`` is the full
+    (tlen+1, qlen+1) uint8 direction plane with reference borders
+    (None in scores-only mode).  Requires :func:`supported` —
+    integral matrix/penalties within int8, qlen <= MAX_WIDTH.
+    """
+    q = np.asarray(q, np.int32)
+    t = np.asarray(t, np.int32)
+    matrix = np.asarray(matrix)
+    V = matrix.shape[0]
+    if not supported(len(q), matrix, del_, ext):
+        raise ValueError("wavefront engine: integral matrix/penalties and "
+                         f"qlen <= {MAX_WIDTH} required")
+    C_real, R_real = len(q), len(t)
+    S = max(_cdiv(C_real, LANES), 1)
+    C_pad = S * LANES
+    qp = np.full(C_pad, V, np.int32)  # pad code V: scores stay 0-ish
+    qp[:C_real] = q
+    assert tr % ROWS_PER_WORD == 0
+    R_pad = _cdiv(R_real, tr) * tr
+    tp = np.zeros(R_pad, np.int32)
+    tp[:R_real] = t
+    mi = np.round(matrix).astype(np.int64)
+    n_words = _cdiv(V, 4)
+    pmat = np.zeros((n_words, V), np.int64)
+    for g in range(n_words):
+        for k in range(4):
+            v = 4 * g + k
+            if v < V:
+                pmat[g] += (mi[v] + 128) << (8 * k)
+    pmat = (pmat & 0xFFFFFFFF).astype(np.uint32).view(np.int32).reshape(
+        n_words, V
+    )
+    if interpret is None:
+        interpret = not on_tpu()
+    outs = _run(
+        jnp.asarray(qp.reshape(S, LANES)),
+        jnp.asarray(tp.reshape(R_pad // tr, 1, tr)),
+        jnp.asarray(pmat),
+        S=S, TR=tr, V=V, C_real=C_real, R_real=R_real,
+        del_=int(del_), ext=int(ext), with_dirs=with_dirs,
+        interpret=bool(interpret),
+    )
+    end = float(np.asarray(outs[0])[0, 0])
+    dirs = None
+    if with_dirs:
+        words = np.asarray(outs[1])  # (R_pad//16, S, 128)
+        nwords_r = words.shape[0]
+        # unpack 16 rows per word: rows (w*16 + k)
+        d = np.zeros((nwords_r * ROWS_PER_WORD, C_pad), np.uint8)
+        flat = words.reshape(nwords_r, C_pad)
+        for k in range(ROWS_PER_WORD):
+            d[k::ROWS_PER_WORD] = ((flat >> (2 * k)) & 3).astype(np.uint8)
+        dirs = np.full((R_real + 1, C_real + 1), np.uint8(BEG))
+        dirs[0, 1:] = np.uint8(LEFT)
+        dirs[1:, 0] = np.uint8(TOP)
+        dirs[1:, 1:] = d[:R_real, :C_real]
+    return end, dirs

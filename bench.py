@@ -121,11 +121,15 @@ def tpu_gcups() -> tuple[float, str]:
 
         @jax.jit
         def bench(q4, t4, ql4, tl4, m4):
-            acc = jnp.float32(0)
+            acc = jnp.float32(1)
             for i in range(K):
-                ti = t4 + (i % 2)
+                # the target batch must depend on the previous launch's
+                # output: a loop-invariant (or 2-valued) input lets XLA
+                # CSE the chain down to 1-2 real launches — the round-1
+                # benchmark bug that inflated GCUPS ~3x (PERF_NOTES.md)
+                dep = acc.astype(jnp.int32) & 1
                 out = P._run(
-                    q4, ti, ql4, tl4, m4, 11.0, 2.0, mode="local",
+                    q4, t4 + dep, ql4, tl4, m4, 11.0, 2.0, mode="local",
                     with_planes=False, dtype=jnp.float32, interpret=False,
                     packed_lut=True, dense=True, track_argmax=False,
                 )

@@ -119,7 +119,9 @@ def test_launch_pod_script_two_hosts(tmp_path):
         ALIGNER_DB=str(db),
         ALIGNER_STATE_PORT=str(state_port),
         ALIGNER_HTTP_PORT=str(http_port),
-        ALIGNER_WORKER_ARGS="--backend xla --poll-interval 0.2 --max-batches 400",
+        # generous bound: max_batches counts idle poll cycles too, and
+        # under full-suite load startup alone can eat tens of seconds
+        ALIGNER_WORKER_ARGS="--backend xla --poll-interval 0.2 --max-batches 3000",
         ALIGNER_LOG="info",
     )
     env_h1 = dict(env)
@@ -139,7 +141,7 @@ def test_launch_pod_script_two_hosts(tmp_path):
     )
     try:
         # wait for the dispatcher API
-        deadline = time.time() + 120
+        deadline = time.time() + 300
         while True:
             try:
                 with urllib.request.urlopen(
@@ -156,7 +158,7 @@ def test_launch_pod_script_two_hosts(tmp_path):
                 time.sleep(0.5)
 
         # both workers must register as consumers (host 1 via HTTP state)
-        deadline = time.time() + 120
+        deadline = time.time() + 300
         while True:
             with urllib.request.urlopen(
                 f"http://127.0.0.1:{http_port}/health/check", timeout=5

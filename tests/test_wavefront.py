@@ -1,0 +1,107 @@
+"""Single-pair global wavefront kernel: bit-parity with the oracle.
+
+The row-scan engine (ops/wavefront.py) computes the exact reference
+recurrence via max-prefix-scans — valid in global mode only, where the
+penalty is constant ext after cell (1,1) (SURVEY.md §2.3.3).  All tests
+run in interpret mode on CPU; the same kernel compiles for TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import aligner_tpu as at
+from aligner_tpu import host
+from aligner_tpu.errors import ValidationError
+from aligner_tpu.ops.wavefront import fill_single_global, supported
+
+
+def test_fuzz_parity_vs_oracle(rng):
+    M = np.asarray(at.blosum62())
+    for _ in range(8):
+        C = int(rng.integers(1, 300))
+        R = int(rng.integers(1, 300))
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 11.0, 2.0)
+        end, dirs = fill_single_global(q, t, M, 11.0, 2.0, interpret=True)
+        assert end == ref.score[R, C]
+        np.testing.assert_array_equal(dirs, ref.directions)
+
+
+def test_lane_boundary_widths(rng):
+    """Widths straddling the 128-lane tile edges (the flattened shift
+    and two-level prefix-scan seams)."""
+    M = np.asarray(at.blosum62())
+    t = rng.integers(0, 24, 40).astype(np.int8)
+    for C in (127, 128, 129, 255, 256, 257):
+        q = rng.integers(0, 24, C).astype(np.int8)
+        ref = host.align_global(q, t, M, 7.0, 3.0)
+        end, dirs = fill_single_global(q, t, M, 7.0, 3.0, interpret=True)
+        assert end == ref.score[len(t), C]
+        np.testing.assert_array_equal(dirs, ref.directions)
+
+
+def test_dna_alphabet(rng):
+    m = rng.integers(-4, 8, (4, 4)).astype(np.float64)
+    q = rng.integers(0, 4, 150).astype(np.int8)
+    t = rng.integers(0, 4, 90).astype(np.int8)
+    ref = host.align_global(q, t, m, 5.0, 2.0)
+    end, dirs = fill_single_global(q, t, m, 5.0, 2.0, interpret=True)
+    assert end == ref.score[90, 150]
+    np.testing.assert_array_equal(dirs, ref.directions)
+
+
+def test_scores_only_mode(rng):
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 70).astype(np.int8)
+    t = rng.integers(0, 24, 130).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end, dirs = fill_single_global(
+        q, t, M, 11.0, 2.0, with_dirs=False, interpret=True
+    )
+    assert dirs is None
+    assert end == ref.score[130, 70]
+
+
+def test_align_global_wavefront_backend(rng):
+    """align_global(backend='wavefront') produces the identical
+    alignment to the oracle (full route incl. traceback)."""
+    M = at.blosum62()
+    q = rng.integers(0, 24, 120).astype(np.int8)
+    t = rng.integers(0, 24, 140).astype(np.int8)
+    wf = at.align_global(q, t, M, 11.0, 2.0, backend="wavefront",
+                         keep_planes=True)
+    ref = at.align_global(q, t, M, 11.0, 2.0, backend="oracle",
+                          keep_planes=True)
+    assert np.array_equal(wf.alignment.query, ref.alignment.query)
+    assert np.array_equal(wf.alignment.target, ref.alignment.target)
+    assert wf.alignment.coords == ref.alignment.coords
+    np.testing.assert_array_equal(wf.directions, ref.directions)
+
+
+def test_unsupported_raises():
+    m = np.full((24, 24), 0.5)  # non-integral
+    assert not supported(10, m, 11.0, 2.0)
+    with pytest.raises(ValueError):
+        fill_single_global(
+            np.zeros(4, np.int8), np.zeros(4, np.int8), m, 11.0, 2.0,
+            interpret=True,
+        )
+    with pytest.raises(ValidationError):
+        at.align_global(
+            np.zeros(4, np.int8), np.zeros(4, np.int8), m, 11.0, 2.0,
+            backend="wavefront",
+        )
+
+
+@pytest.mark.tpu
+def test_wavefront_hardware_spot(rng):
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 1000).astype(np.int8)
+    t = rng.integers(0, 24, 1500).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end, dirs = fill_single_global(q, t, M, 11.0, 2.0, interpret=False)
+    assert end == ref.score[1500, 1000]
+    np.testing.assert_array_equal(dirs, ref.directions)
