@@ -3,10 +3,13 @@
 Equivalent of aligner-core/src/bin/aligner-cli (main.rs, args.rs): reads a
 FASTA with exactly two records, aligns them over the Protein alphabet
 with the embedded BLOSUM62, default del=11 ext=2, ``--global`` switches
-from local to global.  Where the reference debug-prints the match-string
-vector (main.rs:53) and ignores ``--output``, this CLI renders the gapped
-query/match/target lines plus score and coords, to stdout and (if given)
-to ``--output``.
+from local to global.  The default output is byte-identical to the
+reference's ``println!("{:?}", …get_alignment(blosum62))`` (main.rs:53) —
+the Rust Debug rendering of the match-string enum vector, e.g.
+``[A, W, Blank, H, E]``; ``--pretty`` renders the gapped query/match/
+target lines plus score and coords instead.  Like the reference, the
+result also goes to ``--output`` when given (the reference accepts the
+flag but ignores it — divergence kept useful on purpose).
 """
 
 from __future__ import annotations
@@ -19,6 +22,29 @@ from ..alphabet import DNA, Protein
 from ..errors import ValidationError
 from ..io import read_fasta_file
 from ..result import Alignment
+
+BLANK, POS = 98, 99
+_PROTEIN_NAMES = list("ARNDCQEGHILKMFPSTWYVBJZX")
+_DNA_NAMES = list("ATCG")
+
+
+def reference_debug_format(alignment: Alignment, matrix) -> str:
+    """The reference CLI's exact stdout: Rust ``{:?}`` of the
+    ``Vec<Protein>``/``Vec<DNA>`` match string (enums.rs variant names,
+    ``[A, W, Blank, Pos]`` style)."""
+    names = _DNA_NAMES if alignment.alphabet is DNA else _PROTEIN_NAMES
+
+    def name(code: int) -> str:
+        if code == BLANK:
+            return "Blank"
+        if code == POS:
+            return "Pos"
+        if 0 <= code < len(names):
+            return names[code]
+        return "Any"
+
+    codes = alignment.match_string(matrix)
+    return "[" + ", ".join(name(int(c)) for c in codes) + "]"
 
 
 def render_result(alignment: Alignment, matrix) -> str:
@@ -48,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dna", action="store_true", help="DNA alphabet")
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument(
+        "--pretty", action="store_true",
+        help="human-readable rendering instead of the reference's "
+             "debug-format line",
+    )
+    ap.add_argument(
         "--backend", default=None, choices=["oracle", "xla", "pallas"],
         help="compute backend (default: pallas on TPU, xla elsewhere)",
     )
@@ -66,7 +97,10 @@ def main(argv: list[str] | None = None) -> int:
         args.deletions, args.extension, backend=args.backend,
         alphabet=DNA if args.dna else Protein,
     )
-    out = render_result(result.alignment, m)
+    if args.pretty:
+        out = render_result(result.alignment, m)
+    else:
+        out = reference_debug_format(result.alignment, m)
     print(out)
     if args.output:
         with open(args.output, "w") as fh:

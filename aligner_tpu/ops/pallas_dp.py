@@ -13,11 +13,13 @@ Design (see ops/scan_engine.py for why the batch is the parallel axis):
   overwriting it, carrying it as the next cell's diagonal) and persists
   across grid steps; direction/score planes stream out to HBM through the
   pallas output pipeline (one block per column).
-* Score lookup, per column (amortized over R rows): integral shared
-  matrices (the BLOSUM paths) build an int32 LUT, pack four biased bytes
-  per word and extract each cell's score with a 6-way word select +
-  variable-shift (~19 int ops/cell); other matrices use a one-hot
-  expansion ``s = Σ_v lut[v]·(t == v)`` (2V float ops/cell).
+* Score lookup: a per-column LUT over the V symbols is built once per
+  grid step (one-hot over the column's query code; for integral shared
+  matrices the LUT rows come pre-packed as 4 biased bytes per int32
+  word), then each row's score is selected by the target code's bits
+  through a balanced where-tree (``_bit_select``, ceil(log2(n)) select
+  levels + a variable-shift byte extract on the packed path) — ~10 int
+  ops/cell, the cheapest known formulation without per-lane gathers.
 * The row loop is unrolled 8× (the per-cell max→penalty dependent chain
   is latency-bound otherwise); wrappers pad R to a multiple of 8.
 * ``scores_only`` mode tracks the running first-in-row-major argmax
@@ -31,9 +33,9 @@ Design (see ops/scan_engine.py for why the batch is the parallel axis):
 
 Semantics are bit-identical to the scalar oracle (tests fuzz every mode in
 interpret mode and on hardware); f32 is exact for integer-valued matrices.
-Measured: ~103 GCUPS protein / ~175 GCUPS DNA on one v5e chip
-(marginal per-launch rate; docs/PERF_NOTES.md — round-1 reported ~3×
-higher because the benchmark chain was CSE-eliminated).
+Measured: ~187 GCUPS protein / ~318 GCUPS DNA on one v5e chip
+(marginal per-launch rate; docs/PERF_NOTES.md for methodology — the
+round-1 numbers were CSE-inflated and are corrected there).
 """
 
 from __future__ import annotations
@@ -60,6 +62,24 @@ _UNPACK_LUT = np.array(
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _bit_select(vals, codes, start_bit: int):
+    """Select vals[k] per element by the bits of ``codes`` starting at
+    ``start_bit`` — a balanced binary where-tree (ceil(log2(n)) levels),
+    cheaper than an n-way compare+multiply select."""
+    cur = list(vals)
+    bit = start_bit
+    while len(cur) > 1:
+        b = (codes & bit) != 0
+        nxt = []
+        for i in range(0, len(cur) - 1, 2):
+            nxt.append(jnp.where(b, cur[i + 1], cur[i]))
+        if len(cur) % 2:
+            nxt.append(cur[-1])
+        cur = nxt
+        bit <<= 1
+    return cur[0]
 
 
 def _kernel(
@@ -95,7 +115,7 @@ def _kernel(
     if with_scores_plane:
         plane_ref = refs[0]
         refs = refs[1:]
-    colbuf_ref, scol_ref, penb_ref = refs
+    colbuf_ref, penb_ref = refs
 
     x = pl.program_id(1)
     x1 = x + 1
@@ -137,17 +157,19 @@ def _kernel(
     else:
         border0 = zero
 
-    # --- score column: s[y] = matrix[t[y], q[x]] (or pwm[t[y], x]) ---
-    tall = t_ref[:]  # (R, BS, 128) i32
+    # --- per-row score lookup: s[y] = matrix[t[y], q[x]] (or pwm) ---
+    # Selection happens per row inside the cell loop via a binary select
+    # tree over t's code bits (_bit_select): ceil(log2(n)) where-levels,
+    # (BS, 128)-sized temporaries, roughly half the ops of the previous
+    # V-way multiply-select over a full (R, BS, 128) score column (and
+    # no scol scratch at all).  The per-column LUT values below are
+    # (BS, 128) (or scalars for shared PWMs) and stay live across rows.
     if packed_lut:
         # Integral shared matrix (|entries| <= 127): mat_ref holds the
         # column-packed words (n_words, V) int32 — word g of matrix
         # column j is the 4 biased bytes mat[4g..4g+3, j] — precomputed
-        # once in _run, so the per-column build here is just a V-way
-        # select per word (~V + n_words·V ops instead of ~V² + pack).
-        # Extraction per cell stays the 6-way word select + variable
-        # shift (~15 int ops/cell) — the largest per-cell op block
-        # (docs/PERF_NOTES.md cost model).
+        # once in _run.  Per cell: word select by t's bits >= 2, then a
+        # variable-shift byte extract.
         qx = q_ref[0]  # (BS, 128) i32
         ohs_i = [(qx == j).astype(jnp.int32) for j in range(V)]
         n_words = _cdiv(V, 4)
@@ -158,50 +180,41 @@ def _kernel(
             )
             for g in range(n_words)
         ]
-        grp = tall >> 2
-        for g in range(n_words):
-            term = packed[g][None] * (grp == g).astype(jnp.int32)
-            if g == 0:
-                scol_ref[:] = term
-            else:
-                scol_ref[:] = scol_ref[:] + term
-        sh = (tall & 3) << 3
-        scol_ref[:] = ((scol_ref[:] >> sh) & 255) - 128
-    elif mode == "pwm":
-        if batched_mat:
-            luts = [mat_ref[v * C + x] for v in range(V)]
-        else:
-            luts = [mat_ref[v, x] for v in range(V)]
+
+        def score_at(t_row):
+            w = _bit_select(packed, t_row, start_bit=4)
+            sh = (t_row & 3) << 3
+            return (((w >> sh) & 255) - 128).astype(dtype)
     else:
-        qx = q_ref[0]  # (BS, 128) i32
-        ohs = [(qx == j).astype(dtype) for j in range(V)]
-        if batched_mat:
-            luts = [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [mat_ref[v * V + j] * ohs[j] for j in range(V)],
-                )
-                for v in range(V)
-            ]
-        else:
-            luts = [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [mat_ref[v, j] * ohs[j] for j in range(V)],
-                )
-                for v in range(V)
-            ]
-    if not packed_lut:
-        # accumulate in place so at most two (R, BS, 128) temporaries are
-        # live (a single reduce expression overflows scoped VMEM for V=24)
-        for v in range(V):
-            term = jnp.broadcast_to(
-                jnp.asarray(luts[v], dtype), (R, BS, LANES)
-            ) * (tall == v).astype(dtype)
-            if v == 0:
-                scol_ref[:] = term
+        if mode == "pwm":
+            if batched_mat:
+                luts = [mat_ref[v * C + x] for v in range(V)]
             else:
-                scol_ref[:] = scol_ref[:] + term
+                luts = [mat_ref[v, x] for v in range(V)]
+        else:
+            qx = q_ref[0]  # (BS, 128) i32
+            ohs = [(qx == j).astype(dtype) for j in range(V)]
+            if batched_mat:
+                luts = [
+                    functools.reduce(
+                        lambda a, b: a + b,
+                        [mat_ref[v * V + j] * ohs[j] for j in range(V)],
+                    )
+                    for v in range(V)
+                ]
+            else:
+                luts = [
+                    functools.reduce(
+                        lambda a, b: a + b,
+                        [mat_ref[v, j] * ohs[j] for j in range(V)],
+                    )
+                    for v in range(V)
+                ]
+
+        def score_at(t_row):
+            return jnp.asarray(
+                _bit_select(luts, t_row, start_bit=1), dtype
+            )
 
     # the column buffer is updated in place: each cell reads the previous
     # column's value before overwriting it and carries it as the next
@@ -217,9 +230,7 @@ def _kernel(
     def body(y1, carry):
         a_up, pen, diag_prev, bv, by, bx, ev = carry
         left_v = colbuf_ref[y1]
-        s = scol_ref[y1 - 1]
-        if packed_lut:
-            s = s.astype(dtype)
+        s = score_at(t_ref[y1 - 1])
         top = a_up - pen
         left = left_v - pen
         diag = diag_prev + s
@@ -305,7 +316,7 @@ def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool,
     """Largest BS (sublane groups per tile) whose VMEM footprint fits."""
     budget = 11 * 1024 * 1024
     for bs in (32, 16, 8, 4, 2, 1):
-        rows = (R + 1) + R + 2  # colbuf + scol + pen/tracking
+        rows = (R + 1) + 2  # colbuf + pen/tracking
         rows += R  # t codes
         if batched_mat:
             rows += V * V
@@ -444,7 +455,6 @@ def _run(
 
     scratch = [
         pltpu.VMEM((R + 1, BS, LANES), dtype),  # colbuf (in-place)
-        pltpu.VMEM((R, BS, LANES), jnp.int32 if packed_lut else dtype),  # scol
         pltpu.VMEM((BS, LANES), dtype),  # pen
     ]
 

@@ -134,7 +134,16 @@ def test_cli_exploring(tmp_path, rng):
 def test_cli_align(tmp_path, capsys):
     from aligner_tpu.cli.align import main
 
+    # default output = the reference's exact debug format (main.rs:53):
+    # the local book example's match string is _AW_HE_EE (including the
+    # aligner-core traceback's seeded-pair duplication, SURVEY §2.3.6)
     rc = main(["-i", "examples/book_example_1.fasta", "--backend", "oracle"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.strip() == "[Blank, A, W, Blank, H, E, Blank, E, E]"
+
+    rc = main(["-i", "examples/book_example_1.fasta", "--backend", "oracle",
+               "--pretty"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "query :" in out and "score :" in out
@@ -170,7 +179,7 @@ def test_cli_align_blosum50_and_dna(tmp_path, capsys):
     from aligner_tpu.cli.align import main
 
     rc = main(["-i", "examples/book_example_1.fasta", "-m", "blosum50",
-               "-d", "8", "-e", "8", "--backend", "oracle"])
+               "-d", "8", "-e", "8", "--backend", "oracle", "--pretty"])
     assert rc == 0
     assert "score :" in capsys.readouterr().out
 
