@@ -381,6 +381,14 @@ def align_global(
                 on_tpu() and cells > SMALL_PROBLEM_CELLS_NATIVE
             )
     if use_wavefront:
+        if cells > _wf.DIRECT_PLANE_CELLS and not keep_planes:
+            # chromosome-scale: checkpoint-and-replay traceback instead
+            # of materializing an O(R*C) direction plane
+            _, qa, ta, coords = _wf.align_single_global_chunked(
+                q, t, np.asarray(matrix), del_, ext
+            )
+            aln = Alignment(qa, ta, coords, 0.0, alphabet)
+            return AlignmentResult(aln)
         _, wf_dirs = _wf.fill_single_global(q, t, np.asarray(matrix), del_, ext)
         qa, ta, coords = traceback_global(wf_dirs, q, t)
         aln = Alignment(qa, ta, coords, 0.0, alphabet)

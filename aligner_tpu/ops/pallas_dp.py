@@ -314,12 +314,13 @@ def _kernel(
 def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool,
              scores_plane: bool = True) -> int:
     """Largest BS (sublane groups per tile) whose VMEM footprint fits."""
-    budget = 11 * 1024 * 1024
+    budget = 15 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
     for bs in (32, 16, 8, 4, 2, 1):
-        rows = (R + 1) + 2  # colbuf + pen/tracking
-        rows += R  # t codes
+        rows = (R + 1) + 2  # colbuf scratch + pen/tracking
+        rows += 2 * R  # t-codes input block (pipeline double-buffers it)
+        rows += 8  # q/qlen/tlen + small outputs, double-buffered
         if batched_mat:
-            rows += V * V
+            rows += 2 * V * V
         if with_planes:
             rows += 2 * (R // 8)  # packed dirs words, double-buffered
             if scores_plane:

@@ -97,6 +97,7 @@ def _kernel(
     q_ref,  # (S, 128) i32 query codes (VMEM), padded with V
     t_ref,  # (1, 1, TR) i32 target codes for this row block (SMEM)
     pmat_ref,  # (n_words, V) i32 column-packed matrix (SMEM)
+    h0_ref,  # (S, 128) i32 initial H row (used when y_offset > 0)
     end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen]
     *refs,
     S: int,
@@ -107,9 +108,14 @@ def _kernel(
     del_: int,
     ext: int,
     with_dirs: bool,
+    y_offset: int,
+    ckpt_every: int,
 ):
     if with_dirs:
         dirs_ref = refs[0]
+        refs = refs[1:]
+    if ckpt_every:
+        ckpt_ref = refs[0]
         refs = refs[1:]
     h_ref, pw_ref, xp_ref = refs
     i = pl.program_id(0)
@@ -122,12 +128,16 @@ def _kernel(
 
     @pl.when(i == 0)
     def _init():
-        # H[0, x] = -x*del, far corner H[0, qlen] = -(qlen+1)*del
-        # (simple/mod.rs:59-70)
         x1 = flat + 1
-        h_ref[:] = jnp.where(
-            x1 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x1 * DEL
-        )
+        if y_offset == 0:
+            # H[0, x] = -x*del, far corner H[0, qlen] = -(qlen+1)*del
+            # (simple/mod.rs:59-70)
+            h_ref[:] = jnp.where(
+                x1 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x1 * DEL
+            )
+        else:
+            # mid-fill replay: start from a checkpointed H[y_offset] row
+            h_ref[:] = h0_ref[:]
         # packed score words by query symbol: pw[g][x] = the 4 biased
         # bytes mat[4g..4g+3, q[x]] (built once; V² work amortized over R)
         qx = q_ref[:]
@@ -147,7 +157,7 @@ def _kernel(
         )
 
     def row(r, word):
-        y = i * TR + r + 1  # 1-based absolute row
+        y = y_offset + i * TR + r + 1  # 1-based absolute row
         ty = t_ref[0, 0, r]
         w = pw_ref[ty >> 2]
         srow = ((w >> ((ty & 3) * 8)) & 255) - 128
@@ -195,19 +205,23 @@ def _kernel(
         return word
 
     lax.fori_loop(0, TR, row, jnp.zeros((S, LANES), jnp.int32))
+    if ckpt_every:
+        # last writer within each ckpt window leaves H[(k+1)*ckpt_every]
+        ckpt_ref[0] = h_ref[:]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "S", "TR", "V", "C_real", "R_real", "del_", "ext", "with_dirs",
-        "interpret",
+        "interpret", "y_offset", "ckpt_every",
     ),
 )
 def _run(
     q_tile,  # (S, 128) i32
-    t_blocks,  # (R_pad//TR, 1, TR) i32
+    t_blocks,  # (n_blocks, 1, TR) i32
     pmat,  # (n_words, V) i32
+    h0,  # (S, 128) i32 initial row (zeros when y_offset == 0)
     *,
     S: int,
     TR: int,
@@ -218,12 +232,15 @@ def _run(
     ext: int,
     with_dirs: bool,
     interpret: bool,
+    y_offset: int = 0,
+    ckpt_every: int = 0,
 ):
     n_blocks = t_blocks.shape[0]
     kernel = functools.partial(
         _kernel,
         S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
         del_=del_, ext=ext, with_dirs=with_dirs,
+        y_offset=y_offset, ckpt_every=ckpt_every,
     )
     in_specs = [
         pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -231,6 +248,7 @@ def _run(
             (1, 1, TR), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
     out_specs = [
@@ -245,6 +263,19 @@ def _run(
         out_specs.append(
             pl.BlockSpec(
                 (TR // ROWS_PER_WORD, S, LANES), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    if ckpt_every:
+        assert ckpt_every % TR == 0
+        n_ck = _cdiv(n_blocks * TR, ckpt_every)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_ck, S, LANES), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, S, LANES),
+                lambda i: ((i * TR) // ckpt_every, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -265,7 +296,7 @@ def _run(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(q_tile, t_blocks, pmat)
+    )(q_tile, t_blocks, pmat, h0)
 
 
 def _integral_int8(matrix, del_, ext) -> bool:
@@ -279,10 +310,57 @@ def _integral_int8(matrix, del_, ext) -> bool:
 
 
 MAX_WIDTH = 256 * 1024  # VMEM bound: packed words are 24C bytes
+# above this many cells align_global switches from a materialized
+# direction plane to checkpoint-and-replay traceback (2-bit words of a
+# direct plane at this size ≈ 16 MB host-side)
+DIRECT_PLANE_CELLS = 1 << 26
 
 
 def supported(qlen: int, matrix, del_, ext) -> bool:
     return qlen <= MAX_WIDTH and _integral_int8(matrix, del_, ext)
+
+
+def _prep(q, t, matrix, del_, ext):
+    """Shared host prep: pad/pack operands.  Returns a dict of pieces."""
+    q = np.asarray(q, np.int32)
+    t = np.asarray(t, np.int32)
+    matrix = np.asarray(matrix)
+    V = matrix.shape[0]
+    if not supported(len(q), matrix, del_, ext):
+        raise ValueError("wavefront engine: integral matrix/penalties and "
+                         f"qlen <= {MAX_WIDTH} required")
+    C_real, R_real = len(q), len(t)
+    S = max(_cdiv(C_real, LANES), 1)
+    C_pad = S * LANES
+    qp = np.full(C_pad, V, np.int32)  # pad code V: scores stay 0-ish
+    qp[:C_real] = q
+    mi = np.round(matrix).astype(np.int64)
+    n_words = _cdiv(V, 4)
+    pmat = np.zeros((n_words, V), np.int64)
+    for g in range(n_words):
+        for k in range(4):
+            v = 4 * g + k
+            if v < V:
+                pmat[g] += (mi[v] + 128) << (8 * k)
+    pmat = (pmat & 0xFFFFFFFF).astype(np.uint32).view(np.int32).reshape(
+        n_words, V
+    )
+    return {
+        "q": q, "t": t, "V": V, "C_real": C_real, "R_real": R_real,
+        "S": S, "C_pad": C_pad,
+        "q_tile": jnp.asarray(qp.reshape(S, LANES)),
+        "pmat": jnp.asarray(pmat),
+    }
+
+
+def _unpack_dir_words(words: np.ndarray, C_pad: int) -> np.ndarray:
+    """(n, S, 128) packed words → (n*16, C_pad) uint8 interior dirs."""
+    n = words.shape[0]
+    d = np.zeros((n * ROWS_PER_WORD, C_pad), np.uint8)
+    flat = words.reshape(n, C_pad)
+    for k in range(ROWS_PER_WORD):
+        d[k::ROWS_PER_WORD] = ((flat >> (2 * k)) & 3).astype(np.uint8)
+    return d
 
 
 def fill_single_global(
@@ -303,55 +381,147 @@ def fill_single_global(
     (None in scores-only mode).  Requires :func:`supported` —
     integral matrix/penalties within int8, qlen <= MAX_WIDTH.
     """
-    q = np.asarray(q, np.int32)
-    t = np.asarray(t, np.int32)
-    matrix = np.asarray(matrix)
-    V = matrix.shape[0]
-    if not supported(len(q), matrix, del_, ext):
-        raise ValueError("wavefront engine: integral matrix/penalties and "
-                         f"qlen <= {MAX_WIDTH} required")
-    C_real, R_real = len(q), len(t)
-    S = max(_cdiv(C_real, LANES), 1)
-    C_pad = S * LANES
-    qp = np.full(C_pad, V, np.int32)  # pad code V: scores stay 0-ish
-    qp[:C_real] = q
+    pp = _prep(q, t, matrix, del_, ext)
+    S, C_real, R_real = pp["S"], pp["C_real"], pp["R_real"]
     assert tr % ROWS_PER_WORD == 0
-    R_pad = _cdiv(R_real, tr) * tr
+    R_pad = _cdiv(max(R_real, 1), tr) * tr
     tp = np.zeros(R_pad, np.int32)
-    tp[:R_real] = t
-    mi = np.round(matrix).astype(np.int64)
-    n_words = _cdiv(V, 4)
-    pmat = np.zeros((n_words, V), np.int64)
-    for g in range(n_words):
-        for k in range(4):
-            v = 4 * g + k
-            if v < V:
-                pmat[g] += (mi[v] + 128) << (8 * k)
-    pmat = (pmat & 0xFFFFFFFF).astype(np.uint32).view(np.int32).reshape(
-        n_words, V
-    )
+    tp[:R_real] = pp["t"]
     if interpret is None:
         interpret = not on_tpu()
     outs = _run(
-        jnp.asarray(qp.reshape(S, LANES)),
+        pp["q_tile"],
         jnp.asarray(tp.reshape(R_pad // tr, 1, tr)),
-        jnp.asarray(pmat),
-        S=S, TR=tr, V=V, C_real=C_real, R_real=R_real,
+        pp["pmat"],
+        jnp.zeros((S, LANES), jnp.int32),
+        S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
         del_=int(del_), ext=int(ext), with_dirs=with_dirs,
         interpret=bool(interpret),
     )
     end = float(np.asarray(outs[0])[0, 0])
     dirs = None
     if with_dirs:
-        words = np.asarray(outs[1])  # (R_pad//16, S, 128)
-        nwords_r = words.shape[0]
-        # unpack 16 rows per word: rows (w*16 + k)
-        d = np.zeros((nwords_r * ROWS_PER_WORD, C_pad), np.uint8)
-        flat = words.reshape(nwords_r, C_pad)
-        for k in range(ROWS_PER_WORD):
-            d[k::ROWS_PER_WORD] = ((flat >> (2 * k)) & 3).astype(np.uint8)
+        d = _unpack_dir_words(np.asarray(outs[1]), pp["C_pad"])
         dirs = np.full((R_real + 1, C_real + 1), np.uint8(BEG))
         dirs[0, 1:] = np.uint8(LEFT)
         dirs[1:, 0] = np.uint8(TOP)
         dirs[1:, 1:] = d[:R_real, :C_real]
     return end, dirs
+
+
+def align_single_global_chunked(
+    q: np.ndarray,
+    t: np.ndarray,
+    matrix: np.ndarray,
+    del_: float,
+    ext: float,
+    *,
+    tb_rows: int = 2048,
+    tr: int = 64,
+    interpret: bool | None = None,
+):
+    """Exact alignment of ONE huge global pair in bounded memory.
+
+    Checkpoint-and-replay traceback: a scores-only forward fill stores
+    one H row every ``tb_rows`` rows (O(R/tb · C) ints instead of an
+    O(R·C) direction plane); the backward walk then re-fills one
+    tb-row block at a time *with* directions — the replayed block is
+    the identical DP restricted to those rows, so the walk follows the
+    exact same directions the reference's full-plane traceback would
+    (no tie-break divergence by construction).  ~2x fill cost total.
+
+    Returns ``(end_score, qa, ta, coords)`` with the reference's
+    traceback semantics (seeded last characters, simple/mod.rs:99-127).
+    """
+    pp = _prep(q, t, matrix, del_, ext)
+    q, t = pp["q"], pp["t"]
+    S, C_real, R_real, C_pad = pp["S"], pp["C_real"], pp["R_real"], pp["C_pad"]
+    if C_real == 0 or R_real == 0:
+        raise ValueError("empty sequence")
+    assert tb_rows % tr == 0
+    if interpret is None:
+        interpret = not on_tpu()
+
+    # --- forward: scores-only with checkpoints every tb_rows ---
+    TB = tb_rows
+    R_pad = _cdiv(R_real, TB) * TB  # block-align so replays are uniform
+    tp = np.zeros(R_pad, np.int32)
+    tp[:R_real] = t
+    outs = _run(
+        pp["q_tile"],
+        jnp.asarray(tp.reshape(R_pad // tr, 1, tr)),
+        pp["pmat"],
+        jnp.zeros((S, LANES), jnp.int32),
+        S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
+        del_=int(del_), ext=int(ext), with_dirs=False,
+        interpret=bool(interpret), ckpt_every=TB,
+    )
+    end = float(np.asarray(outs[0])[0, 0])
+    ckpts = np.asarray(outs[1])  # ckpts[k] = H[(k+1)*TB] (padded rows ok)
+
+    def replay_block(j: int) -> np.ndarray:
+        """Interior dirs (TB, C_pad) of rows j*TB+1 .. (j+1)*TB."""
+        if j == 0:
+            h0 = jnp.zeros((S, LANES), jnp.int32)
+        else:
+            h0 = jnp.asarray(ckpts[j - 1])
+        t_rows = tp[j * TB : (j + 1) * TB]
+        routs = _run(
+            pp["q_tile"],
+            jnp.asarray(t_rows.reshape(TB // tr, 1, tr)),
+            pp["pmat"],
+            h0,
+            S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
+            del_=int(del_), ext=int(ext), with_dirs=True,
+            interpret=bool(interpret), y_offset=j * TB,
+        )
+        return _unpack_dir_words(np.asarray(routs[1]), C_pad)
+
+    # --- backward walk (simple/mod.rs:99-127 semantics, chunked) ---
+    qa = [int(q[-1])]
+    ta = [int(t[-1])]
+    cy, cx = R_real, C_real
+    cur_j = -1
+    block = None
+    BLANK = 98
+    while True:
+        if cy == 0:
+            # border row: LEFT until (0, 0) (simple/mod.rs:61)
+            while cx > 0:
+                qa.append(int(q[cx - 1]))
+                ta.append(BLANK)
+                cx -= 1
+            break
+        if cx == 0:
+            # border column: TOP until (0, 0) (simple/mod.rs:66)
+            while cy > 0:
+                qa.append(BLANK)
+                ta.append(int(t[cy - 1]))
+                cy -= 1
+            continue  # falls into the cy == 0 branch, which breaks
+        j = (cy - 1) // TB
+        if j != cur_j:
+            block = replay_block(j)
+            cur_j = j
+        dr = block[cy - 1 - j * TB, cx - 1]
+        if dr == TOP:
+            qa.append(BLANK)
+            ta.append(int(t[cy - 1]))
+            cy -= 1
+        elif dr == LEFT:
+            qa.append(int(q[cx - 1]))
+            ta.append(BLANK)
+            cx -= 1
+        else:  # DIAG (BEG cannot occur in global interiors)
+            qa.append(int(q[cx - 1]))
+            ta.append(int(t[cy - 1]))
+            cy -= 1
+            cx -= 1
+    qa.reverse()
+    ta.reverse()
+    return (
+        end,
+        np.array(qa, dtype=np.int16),
+        np.array(ta, dtype=np.int16),
+        ((1, C_real), (1, R_real)),
+    )

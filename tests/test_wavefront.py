@@ -105,3 +105,54 @@ def test_wavefront_hardware_spot(rng):
     end, dirs = fill_single_global(q, t, M, 11.0, 2.0, interpret=False)
     assert end == ref.score[1500, 1000]
     np.testing.assert_array_equal(dirs, ref.directions)
+
+
+def test_chunked_traceback_matches_oracle(rng):
+    """Checkpoint-and-replay traceback: exact alignment strings without
+    a full direction plane (blocks re-filled on demand)."""
+    from aligner_tpu.ops.wavefront import align_single_global_chunked
+
+    M = np.asarray(at.blosum62())
+    for C, R in [(200, 500), (130, 97), (50, 300)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 11.0, 2.0)
+        end, qa, ta, coords = align_single_global_chunked(
+            q, t, M, 11.0, 2.0, tb_rows=64, tr=16, interpret=True
+        )
+        assert end == ref.score[R, C]
+        np.testing.assert_array_equal(qa, ref.query_aligned)
+        np.testing.assert_array_equal(ta, ref.target_aligned)
+        assert coords == ((1, C), (1, R))
+
+
+def test_align_global_chunked_route(rng, monkeypatch):
+    """align_global routes past-the-plane-budget pairs through the
+    chunked walk and still matches the oracle exactly."""
+    from aligner_tpu.ops import wavefront
+
+    monkeypatch.setattr(wavefront, "DIRECT_PLANE_CELLS", 1000)
+    q = rng.integers(0, 24, 80).astype(np.int8)
+    t = rng.integers(0, 24, 90).astype(np.int8)
+    M = at.blosum62()
+    res = at.align_global(q, t, M, 11.0, 2.0, backend="wavefront")
+    ref = at.align_global(q, t, M, 11.0, 2.0, backend="oracle")
+    assert np.array_equal(res.alignment.query, ref.alignment.query)
+    assert np.array_equal(res.alignment.target, ref.alignment.target)
+    assert res.alignment.coords == ref.alignment.coords
+
+
+@pytest.mark.tpu
+def test_chunked_hardware_spot(rng):
+    from aligner_tpu.ops.wavefront import align_single_global_chunked
+
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 900).astype(np.int8)
+    t = rng.integers(0, 24, 3000).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end, qa, ta, _ = align_single_global_chunked(
+        q, t, M, 11.0, 2.0, tb_rows=1024, interpret=False
+    )
+    assert end == ref.score[3000, 900]
+    np.testing.assert_array_equal(qa, ref.query_aligned)
+    np.testing.assert_array_equal(ta, ref.target_aligned)
