@@ -50,7 +50,6 @@ from ..backend import on_tpu
 from .scan_engine import BEG, DIAG, LEFT, TOP
 
 LANES = 128
-NEG = -(2**30)
 
 
 def _cdiv(a, b):

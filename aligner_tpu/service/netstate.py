@@ -20,7 +20,6 @@ Run the endpoint with ``python -m aligner_tpu.service.netstate --db
 from __future__ import annotations
 
 import json
-import threading
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from types import SimpleNamespace
