@@ -408,6 +408,156 @@ def fill_single_global(
     return end, dirs
 
 
+# ---------------------------------------------------------------------------
+# Column-sharded block fill: the per-device compute step of the cross-chip
+# wavefront (parallel/wavefront_sp.py).  One call fills TR rows of THIS
+# device's column block, given the carried previous row and the per-row
+# left-boundary vector received from the left neighbor; it returns the new
+# row and the per-row right boundary to ship onward.  x0 (global column
+# offset) and y_base (absolute row of the block start) are *traced*
+# scalars because they differ per device / pipeline step under shard_map.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_block_cs(
+    q_ref,  # (S, 128) i32 local query codes (padded with V)
+    t_ref,  # (1, TR) i32 target codes of this row block (SMEM)
+    pmat_ref,  # (n_words, V) i32 column-packed matrix (SMEM)
+    h0_ref,  # (S, 128) i32 previous row (local columns)
+    lb_ref,  # (1, TR + 1) i32: H[y_base + r, x0] for r = 0..TR (SMEM)
+    scal_ref,  # (1, 4) i32 SMEM: [x0, y_base, active, 0]
+    hout_ref,  # (S, 128) i32 out: new row
+    rb_ref,  # (1, TR) i32 out (SMEM): right boundary per row
+    end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen] when owned
+    h_ref,  # VMEM scratch (S, 128)
+    pw_ref,  # VMEM scratch (n_words, S, 128)
+    *,
+    S: int,
+    TR: int,
+    V: int,
+    C_real: int,
+    R_real: int,
+    del_: int,
+    ext: int,
+):
+    n_words = _cdiv(V, 4)
+    P = jnp.int32(ext)
+    DEL = jnp.int32(del_)
+    sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    flat = sub * LANES + lane
+    x0 = scal_ref[0, 0]
+    y_base = scal_ref[0, 1]
+    xg1 = x0 + flat + 1  # global 1-based column per lane
+    xp = xg1 * P
+    c_local = jnp.int32(C_real - 1) - x0  # end cell's local flat index
+
+    end_ref[0, 0] = 0  # only the owning block overwrites
+    h_ref[:] = h0_ref[:]
+    qx = q_ref[:]
+    for g in range(n_words):
+        w = jnp.zeros((S, LANES), jnp.int32)
+        for v in range(V):
+            w = w + pmat_ref[g, v] * (qx == v).astype(jnp.int32)
+        pw_ref[g] = w
+
+    def row(r, _):
+        y = y_base + r + 1
+        ty = t_ref[0, r]
+        w = pw_ref[ty >> 2]
+        srow = ((w >> ((ty & 3) * 8)) & 255) - 128
+        prev = h_ref[:]
+        bprev = lb_ref[0, r]  # H[y-1, x0]
+        bcur = lb_ref[0, r + 1]  # H[y, x0]
+        diag = _flat_shift_right(prev, bprev, S)
+        dv = diag + srow
+        m0 = jnp.maximum(dv, prev - P)
+        first = flat == 0
+        is11 = (y == 1) & (x0 == 0)  # global cell (1,1): del penalty
+        pen1 = jnp.where(is11, DEL, P)
+        a = jnp.where(
+            first,
+            jnp.maximum(
+                jnp.where(is11, jnp.maximum(dv, prev - pen1), m0),
+                bcur - pen1,
+            ),
+            m0,
+        )
+        h = _prefix_max_flat(a + xp, S) - xp
+        h_ref[:] = h
+        rb_ref[0, r] = h[S - 1, LANES - 1]
+        @pl.when((y == R_real) & (c_local >= 0) & (c_local < S * LANES))
+        def _end():
+            # one-hot masked reduction: dynamic per-lane reads are not a
+            # vector op, a masked sum is
+            end_ref[0, 0] = jnp.sum(jnp.where(flat == c_local, h, 0))
+        return 0
+
+    lax.fori_loop(0, TR, row, 0)
+    hout_ref[:] = h_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
+    ),
+)
+def run_block_cs(
+    q_tile,  # (S, 128) i32
+    t_rows,  # (1, TR) i32
+    pmat,  # (n_words, V) i32
+    h_prev,  # (S, 128) i32
+    lbound,  # (1, TR + 1) i32
+    scalars,  # (1, 4) i32: [x0, y_base, active, 0]
+    *,
+    S: int,
+    TR: int,
+    V: int,
+    C_real: int,
+    R_real: int,
+    del_: int,
+    ext: int,
+    interpret: bool,
+):
+    """One column-sharded row-block fill.  Returns (h_new, rights, end)
+    where ``end`` is H[tlen, qlen] if this block/device owns it else 0."""
+    kernel = functools.partial(
+        _kernel_block_cs,
+        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
+        del_=int(del_), ext=int(ext),
+    )
+    n_words = _cdiv(V, 4)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR + 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, TR), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S, LANES), jnp.int32),
+            pltpu.VMEM((n_words, S, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_tile, t_rows, pmat, h_prev, lbound, scalars)
+    return out
+
+
 def align_single_global_chunked(
     q: np.ndarray,
     t: np.ndarray,

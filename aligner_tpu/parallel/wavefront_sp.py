@@ -56,12 +56,26 @@ def sharded_global_end_score(
     *,
     tr: int = 128,
     axis: str | None = None,
+    engine: str | None = None,
+    interpret: bool | None = None,
 ) -> float:
     """Exact global end score H[tlen, qlen] of one pair, columns sharded
     over the mesh axis.  Requires an integral matrix and penalties
-    (int32 arithmetic — bit-exact vs the oracle)."""
+    (int32 arithmetic — bit-exact vs the oracle).
+
+    ``engine``: "pallas" runs each device's row-block through the
+    column-sharded wavefront kernel (ops/wavefront.run_block_cs — the
+    per-device speed path); "lax" uses the portable gather+cummax block
+    fill.  Default: pallas on TPU, lax elsewhere.
+    """
+    from ..backend import on_tpu as _on_tpu
+
     axis = axis or mesh.axis_names[0]
     n = mesh.shape[axis]
+    if engine is None:
+        engine = "pallas" if _on_tpu() else "lax"
+    if interpret is None:
+        interpret = not _on_tpu()
     q = np.asarray(q, np.int32)
     t = np.asarray(t, np.int32)
     matrix = np.asarray(matrix)
@@ -73,7 +87,12 @@ def sharded_global_end_score(
         raise ValueError("sharded wavefront requires integral matrix/penalties")
     V = matrix.shape[0]
     C_real, R_real = len(q), len(t)
-    Cb = _cdiv(C_real, n)
+    if engine == "pallas":
+        # lane-aligned column blocks so each device holds (S_loc, 128)
+        Cb = _cdiv(_cdiv(C_real, n), 128) * 128
+    else:
+        Cb = _cdiv(C_real, n)
+    S_loc = max(Cb // 128, 1) if engine == "pallas" else None
     C_pad = Cb * n
     qp = np.full(C_pad, V, np.int32)
     qp[:C_real] = q
@@ -82,6 +101,20 @@ def sharded_global_end_score(
     tp = np.zeros(R_pad, np.int32)
     tp[:R_real] = t
     mi = jnp.asarray(np.round(matrix).astype(np.int32))
+    if engine == "pallas":
+        mi64 = np.round(matrix).astype(np.int64)
+        n_words = _cdiv(V, 4)
+        pmat = np.zeros((n_words, V), np.int64)
+        for g in range(n_words):
+            for k in range(4):
+                v = 4 * g + k
+                if v < V:
+                    pmat[g] += (mi64[v] + 128) << (8 * k)
+        pmat = (
+            (pmat & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            .reshape(n_words, V)
+        )
+        mi = jnp.asarray(pmat)
     DEL = np.int32(int(del_))
     EXT = np.int32(int(ext))
 
@@ -147,10 +180,36 @@ def sharded_global_end_score(
             # boundary (carried in last_bound)
             borders = border(ys)
             bl_cur = jnp.where(d == 0, borders, bound_in)
-            bl_prev = jnp.concatenate([last_bound[None], bl_cur[:-1]])
-            (new_prev, new_end), rights = lax.scan(
-                row_fill, (prev, end), (t_rows, bl_prev, bl_cur, ys)
-            )
+            if engine == "pallas":
+                from ..ops.wavefront import run_block_cs
+
+                lb = jnp.concatenate([last_bound[None], bl_cur])
+                scal = jnp.stack(
+                    [x0, jc * tr, active.astype(jnp.int32), jnp.int32(0)]
+                ).reshape(1, 4)
+                h_new, rights2d, endv = run_block_cs(
+                    q_local.reshape(S_loc, 128),
+                    t_rows.reshape(1, tr), mat,
+                    prev.reshape(S_loc, 128), lb.reshape(1, tr + 1),
+                    scal,
+                    S=S_loc, TR=tr, V=V, C_real=C_real, R_real=R_real,
+                    del_=int(DEL), ext=int(EXT), interpret=bool(interpret),
+                )
+                # block ownership of the end cell (end value may be 0)
+                c_loc = jnp.int32(C_real - 1) - x0
+                owns = (
+                    active
+                    & (c_loc >= 0) & (c_loc < Cb)
+                    & (jc * tr < R_real) & (R_real <= (jc + 1) * tr)
+                )
+                new_prev = h_new.reshape(Cb)
+                new_end = jnp.where(owns, endv[0, 0], end)
+                rights = rights2d[0]
+            else:
+                bl_prev = jnp.concatenate([last_bound[None], bl_cur[:-1]])
+                (new_prev, new_end), rights = lax.scan(
+                    row_fill, (prev, end), (t_rows, bl_prev, bl_cur, ys)
+                )
             prev = jnp.where(active, new_prev, prev)
             end = jnp.where(active, new_end, end)
             rights = jnp.where(active, rights, jnp.zeros_like(rights))

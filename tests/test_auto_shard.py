@@ -227,3 +227,21 @@ def test_pwm_full_mode_sharded_equals_single(rng, monkeypatch):
         np.testing.assert_array_equal(
             a.alignment.frequency_matrix(), b.alignment.frequency_matrix()
         )
+
+
+def test_pwm_batched_matrices_sharded(rng, monkeypatch):
+    """(B, 4, W) per-problem PWMs shard over data (scores and full mode)."""
+    B = 6
+    qs = [rng.integers(0, 4, 40) for _ in range(B)]
+    pwms = rng.integers(-1, 2, (B, 4, 16)).astype(np.float64)
+    r_s = batch_align_pwm(qs, pwms, 5.0, 2.0, backend="xla")
+    out_s = batch_align_pwm(qs, pwms, 5.0, 2.0, backend="xla",
+                            with_alignments=True)
+    _unsharded(monkeypatch)
+    r_1 = batch_align_pwm(qs, pwms, 5.0, 2.0, backend="xla")
+    out_1 = batch_align_pwm(qs, pwms, 5.0, 2.0, backend="xla",
+                            with_alignments=True)
+    np.testing.assert_array_equal(np.asarray(r_s.fmax), np.asarray(r_1.fmax))
+    for a, b in zip(out_s, out_1):
+        assert a.alignment.f == b.alignment.f
+        np.testing.assert_array_equal(a.alignment.query, b.alignment.query)

@@ -130,3 +130,24 @@ def test_unknown_method_rejected(endpoint):
     proxy = RemoteStore(endpoint)
     with pytest.raises(ValidationError):
         proxy._call("_conn")
+
+
+def test_concurrent_remote_workers_at_least_once(endpoint):
+    """Two remote consumers racing the same topic: every job is claimed
+    exactly once while both are live (lease-based, like the reference's
+    consumer group)."""
+    q1 = RemoteQueue(endpoint)
+    q2 = RemoteQueue(endpoint)
+    q1.register_consumer("grp", "w1")
+    q2.register_consumer("grp", "w2")
+    for i in range(10):
+        q1.produce("race", f"job-{i}", "grp")
+    got1 = q1.claim_batch("race", "w1", "grp", limit=6)
+    got2 = q2.claim_batch("race", "w2", "grp", limit=6)
+    ids1 = {j for j, _ in got1}
+    ids2 = {j for j, _ in got2}
+    assert not (ids1 & ids2)  # no double-claim while leases are live
+    assert len(ids1 | ids2) == 10
+    q1.commit(list(ids1))
+    q2.commit(list(ids2))
+    assert q1.pending("race", "grp") == 0

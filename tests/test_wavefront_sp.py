@@ -22,13 +22,15 @@ def mesh():
     return Mesh(np.array(jax.devices()).reshape(-1), ("data",))
 
 
-def test_parity_vs_oracle(mesh, rng):
+@pytest.mark.parametrize("engine", ["lax", "pallas"])
+def test_parity_vs_oracle(mesh, rng, engine):
     M = np.asarray(at.blosum62())
     for C, R in [(1000, 700), (333, 190), (1024, 257)]:
         q = rng.integers(0, 24, C).astype(np.int8)
         t = rng.integers(0, 24, R).astype(np.int8)
         ref = host.align_global(q, t, M, 11.0, 2.0)
-        end = sharded_global_end_score(mesh, q, t, M, 11.0, 2.0, tr=64)
+        end = sharded_global_end_score(mesh, q, t, M, 11.0, 2.0, tr=64,
+                                       engine=engine)
         assert end == ref.score[R, C]
 
 
@@ -62,3 +64,31 @@ def test_non_integral_rejected(mesh):
             mesh, np.zeros(8, np.int8), np.zeros(8, np.int8),
             np.full((24, 24), 0.5), 11.0, 2.0,
         )
+
+
+def test_pallas_engine_narrow_and_idle_devices(mesh, rng):
+    """Pallas block engine with fully-padded devices and a single
+    row-block."""
+    M = np.asarray(at.blosum62())
+    for C, R in [(100, 500), (64, 64)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 7.0, 3.0)
+        end = sharded_global_end_score(mesh, q, t, M, 7.0, 3.0, tr=32,
+                                       engine="pallas")
+        assert end == ref.score[R, C]
+
+
+@pytest.mark.tpu
+def test_pallas_engine_hardware_spot(rng):
+    """Mosaic lowering of the column-sharded block kernel on real
+    hardware (1-device mesh — the pipeline and kernel are identical
+    to the n-device case)."""
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 700).astype(np.int8)
+    t = rng.integers(0, 24, 900).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end = sharded_global_end_score(mesh1, q, t, M, 11.0, 2.0, tr=128,
+                                   engine="pallas", interpret=False)
+    assert end == ref.score[900, 700]
