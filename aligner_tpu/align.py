@@ -377,8 +377,14 @@ def align_global(
         from .ops import wavefront as _wf
 
         if _wf.supported(len(q), np.asarray(matrix), del_, ext):
+            # keep_planes callers need the score plane, which the
+            # wavefront engine does not produce — auto-routing skips
+            # them (an explicit backend="wavefront" still returns
+            # directions-only planes)
             use_wavefront = backend == "wavefront" or (
-                on_tpu() and cells > SMALL_PROBLEM_CELLS_NATIVE
+                on_tpu()
+                and cells > SMALL_PROBLEM_CELLS_NATIVE
+                and not keep_planes
             )
     if use_wavefront:
         if cells > _wf.DIRECT_PLANE_CELLS and not keep_planes:

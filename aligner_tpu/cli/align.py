@@ -18,21 +18,18 @@ import argparse
 import sys
 
 from ..align import align_global, align_local
-from ..alphabet import DNA, Protein
+from ..alphabet import BLANK, POS, DNA, Protein
 from ..errors import ValidationError
 from ..io import read_fasta_file
 from ..result import Alignment
 
-BLANK, POS = 98, 99
-_PROTEIN_NAMES = list("ARNDCQEGHILKMFPSTWYVBJZX")
-_DNA_NAMES = list("ATCG")
-
 
 def reference_debug_format(alignment: Alignment, matrix) -> str:
     """The reference CLI's exact stdout: Rust ``{:?}`` of the
-    ``Vec<Protein>``/``Vec<DNA>`` match string (enums.rs variant names,
-    ``[A, W, Blank, Pos]`` style)."""
-    names = _DNA_NAMES if alignment.alphabet is DNA else _PROTEIN_NAMES
+    ``Vec<Protein>``/``Vec<DNA>`` match string — the enum variant names
+    are exactly the alphabet letters (enums.rs:55-146),
+    ``[A, W, Blank, Pos]`` style."""
+    names = alignment.alphabet.letters
 
     def name(code: int) -> str:
         if code == BLANK:

@@ -56,6 +56,26 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def pack_matrix_words(matrix: np.ndarray) -> np.ndarray:
+    """Column-packed score words: out[g, j] holds the 4 biased bytes
+    matrix[4g..4g+3, j] in one int32 (the layout every wavefront kernel
+    and pallas_dp's packed-LUT path consume; pallas_dp._run re-derives
+    the same layout with traced jnp ops — tests pin their agreement)."""
+    mi = np.round(np.asarray(matrix)).astype(np.int64)
+    V = mi.shape[0]
+    n_words = _cdiv(V, 4)
+    pmat = np.zeros((n_words, mi.shape[1]), np.int64)
+    for g in range(n_words):
+        for k in range(4):
+            v = 4 * g + k
+            if v < V:
+                pmat[g] += (mi[v] + 128) << (8 * k)
+    return (
+        (pmat & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        .reshape(n_words, mi.shape[1])
+    )
+
+
 def _flat_shift_right(x, fill, S):
     """Flattened shift by one: out[j] = x[j-1], out[0] = fill, where j is
     the row-major (sublane, lane) index of an (S, 128) tile."""
@@ -97,6 +117,10 @@ def _kernel(
     t_ref,  # (1, 1, TR) i32 target codes for this row block (SMEM)
     pmat_ref,  # (n_words, V) i32 column-packed matrix (SMEM)
     h0_ref,  # (S, 128) i32 initial H row (used when y_offset > 0)
+    yoff_ref,  # (1, 1) i32 (SMEM): absolute row offset of this fill —
+    # traced so the chunked traceback replays every block with ONE
+    # compiled kernel (a static offset would compile a variant per
+    # block, ~60 s each through this machine's remote-compile tunnel)
     end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen]
     *refs,
     S: int,
@@ -107,7 +131,6 @@ def _kernel(
     del_: int,
     ext: int,
     with_dirs: bool,
-    y_offset: int,
     ckpt_every: int,
 ):
     if with_dirs:
@@ -125,18 +148,17 @@ def _kernel(
     lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
     flat = sub * LANES + lane  # j = x - 1
 
+    y_offset = yoff_ref[0, 0]
+
     @pl.when(i == 0)
     def _init():
         x1 = flat + 1
-        if y_offset == 0:
-            # H[0, x] = -x*del, far corner H[0, qlen] = -(qlen+1)*del
-            # (simple/mod.rs:59-70)
-            h_ref[:] = jnp.where(
-                x1 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x1 * DEL
-            )
-        else:
-            # mid-fill replay: start from a checkpointed H[y_offset] row
-            h_ref[:] = h0_ref[:]
+        # y_offset == 0: the global border row (simple/mod.rs:59-70);
+        # otherwise a mid-fill replay from a checkpointed H[y_offset]
+        border_row = jnp.where(
+            x1 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x1 * DEL
+        )
+        h_ref[:] = jnp.where(y_offset == 0, border_row, h0_ref[:])
         # packed score words by query symbol: pw[g][x] = the 4 biased
         # bytes mat[4g..4g+3, q[x]] (built once; V² work amortized over R)
         qx = q_ref[:]
@@ -213,7 +235,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "S", "TR", "V", "C_real", "R_real", "del_", "ext", "with_dirs",
-        "interpret", "y_offset", "ckpt_every",
+        "interpret", "ckpt_every",
     ),
 )
 def _run(
@@ -221,6 +243,7 @@ def _run(
     t_blocks,  # (n_blocks, 1, TR) i32
     pmat,  # (n_words, V) i32
     h0,  # (S, 128) i32 initial row (zeros when y_offset == 0)
+    y_offset=0,  # scalar i32: absolute row offset (traced — see _kernel)
     *,
     S: int,
     TR: int,
@@ -231,7 +254,6 @@ def _run(
     ext: int,
     with_dirs: bool,
     interpret: bool,
-    y_offset: int = 0,
     ckpt_every: int = 0,
 ):
     n_blocks = t_blocks.shape[0]
@@ -239,7 +261,7 @@ def _run(
         _kernel,
         S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
         del_=del_, ext=ext, with_dirs=with_dirs,
-        y_offset=y_offset, ckpt_every=ckpt_every,
+        ckpt_every=ckpt_every,
     )
     in_specs = [
         pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -248,6 +270,7 @@ def _run(
         ),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
     out_specs = [
@@ -295,7 +318,8 @@ def _run(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(q_tile, t_blocks, pmat, h0)
+    )(q_tile, t_blocks, pmat, h0,
+      jnp.asarray(y_offset, jnp.int32).reshape(1, 1))
 
 
 def _integral_int8(matrix, del_, ext) -> bool:
@@ -333,17 +357,7 @@ def _prep(q, t, matrix, del_, ext):
     C_pad = S * LANES
     qp = np.full(C_pad, V, np.int32)  # pad code V: scores stay 0-ish
     qp[:C_real] = q
-    mi = np.round(matrix).astype(np.int64)
-    n_words = _cdiv(V, 4)
-    pmat = np.zeros((n_words, V), np.int64)
-    for g in range(n_words):
-        for k in range(4):
-            v = 4 * g + k
-            if v < V:
-                pmat[g] += (mi[v] + 128) << (8 * k)
-    pmat = (pmat & 0xFFFFFFFF).astype(np.uint32).view(np.int32).reshape(
-        n_words, V
-    )
+    pmat = pack_matrix_words(matrix)
     return {
         "q": q, "t": t, "V": V, "C_real": C_real, "R_real": R_real,
         "S": S, "C_pad": C_pad,
@@ -425,7 +439,7 @@ def _kernel_block_cs(
     pmat_ref,  # (n_words, V) i32 column-packed matrix (SMEM)
     h0_ref,  # (S, 128) i32 previous row (local columns)
     lb_ref,  # (1, TR + 1) i32: H[y_base + r, x0] for r = 0..TR (SMEM)
-    scal_ref,  # (1, 4) i32 SMEM: [x0, y_base, active, 0]
+    scal_ref,  # (1, 2) i32 SMEM: [x0, y_base]
     hout_ref,  # (S, 128) i32 out: new row
     rb_ref,  # (1, TR) i32 out (SMEM): right boundary per row
     end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen] when owned
@@ -509,7 +523,7 @@ def run_block_cs(
     pmat,  # (n_words, V) i32
     h_prev,  # (S, 128) i32
     lbound,  # (1, TR + 1) i32
-    scalars,  # (1, 4) i32: [x0, y_base, active, 0]
+    scalars,  # (1, 2) i32: [x0, y_base]
     *,
     S: int,
     TR: int,
@@ -537,7 +551,7 @@ def run_block_cs(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR + 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -620,9 +634,10 @@ def align_single_global_chunked(
             jnp.asarray(t_rows.reshape(TB // tr, 1, tr)),
             pp["pmat"],
             h0,
+            np.int32(j * TB),
             S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
             del_=int(del_), ext=int(ext), with_dirs=True,
-            interpret=bool(interpret), y_offset=j * TB,
+            interpret=bool(interpret),
         )
         return _unpack_dir_words(np.asarray(routs[1]), C_pad)
 
@@ -632,7 +647,7 @@ def align_single_global_chunked(
     cy, cx = R_real, C_real
     cur_j = -1
     block = None
-    BLANK = 98
+    from ..alphabet import BLANK
     while True:
         if cy == 0:
             # border row: LEFT until (0, 0) (simple/mod.rs:61)

@@ -102,19 +102,9 @@ def sharded_global_end_score(
     tp[:R_real] = t
     mi = jnp.asarray(np.round(matrix).astype(np.int32))
     if engine == "pallas":
-        mi64 = np.round(matrix).astype(np.int64)
-        n_words = _cdiv(V, 4)
-        pmat = np.zeros((n_words, V), np.int64)
-        for g in range(n_words):
-            for k in range(4):
-                v = 4 * g + k
-                if v < V:
-                    pmat[g] += (mi64[v] + 128) << (8 * k)
-        pmat = (
-            (pmat & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-            .reshape(n_words, V)
-        )
-        mi = jnp.asarray(pmat)
+        from ..ops.wavefront import pack_matrix_words
+
+        mi = jnp.asarray(pack_matrix_words(matrix))
     DEL = np.int32(int(del_))
     EXT = np.int32(int(ext))
 
@@ -184,9 +174,7 @@ def sharded_global_end_score(
                 from ..ops.wavefront import run_block_cs
 
                 lb = jnp.concatenate([last_bound[None], bl_cur])
-                scal = jnp.stack(
-                    [x0, jc * tr, active.astype(jnp.int32), jnp.int32(0)]
-                ).reshape(1, 4)
+                scal = jnp.stack([x0, jc * tr]).reshape(1, 2)
                 h_new, rights2d, endv = run_block_cs(
                     q_local.reshape(S_loc, 128),
                     t_rows.reshape(1, tr), mat,

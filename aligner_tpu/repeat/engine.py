@@ -343,9 +343,23 @@ def _load_checkpoint(path: str, head: str):
 
 def _record_checkpoint_path(base: str, head: str) -> str:
     """Per-record checkpoint file so multi-record FASTA inputs resume
-    correctly (one shared file would be clobbered by the next record)."""
+    correctly (one shared file would be clobbered by the next record).
+
+    Falls back to the bare base path when only a pre-round-2 shared
+    checkpoint exists for this head, so in-flight scans survive the
+    path-scheme change."""
     digest = hashlib.sha1(head.encode("utf-8", "replace")).hexdigest()[:12]
-    return f"{base}.{digest}"
+    path = f"{base}.{digest}"
+    if not os.path.exists(path) and os.path.exists(base):
+        try:
+            import json
+
+            with open(base) as fh:
+                if json.load(fh).get("head") == head:
+                    return base
+        except (OSError, ValueError):
+            pass
+    return path
 
 
 def perform_calculation_per_sequence(

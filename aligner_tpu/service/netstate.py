@@ -15,11 +15,21 @@ service component a remote store/queue via :func:`open_store` /
 
 Run the endpoint with ``python -m aligner_tpu.service.netstate --db
 /path/state.db --port 3031`` (deploy/launch_pod.sh does this on host 0).
+
+Security: the endpoint binds 127.0.0.1 by default; multi-host deploys
+bind an internal interface explicitly AND set ``ALIGNER_STATE_TOKEN``
+(a shared secret) — the server then rejects requests without a matching
+``X-Aligner-Token`` header, and the clients attach it automatically.
+The reference's MariaDB at least required credentials
+(config/node/dev.env); an open state endpoint would let anyone with
+network reach read or corrupt the results database.
 """
 
 from __future__ import annotations
 
+import hmac
 import json
+import os
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from types import SimpleNamespace
@@ -88,6 +98,12 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/rpc":
             self.send_error(404)
             return
+        token = self.server.token
+        if token and not hmac.compare_digest(
+            self.headers.get("X-Aligner-Token", ""), token
+        ):
+            self.send_error(403, "bad or missing X-Aligner-Token")
+            return
         length = int(self.headers.get("Content-Length", 0))
         try:
             body = json.loads(self.rfile.read(length))
@@ -128,11 +144,14 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_error(404)
 
 
-def serve_state(host: str, port: int, db_path: str) -> ThreadingHTTPServer:
+def serve_state(
+    host: str, port: int, db_path: str, token: str | None = None
+) -> ThreadingHTTPServer:
     """Serve the sqlite-backed Store + JobQueue at ``db_path`` over HTTP.
 
-    Returns the server; call ``serve_forever`` (or use
-    :func:`run_state_server`)."""
+    ``token`` (default: ALIGNER_STATE_TOKEN env) gates every RPC behind
+    an X-Aligner-Token header.  Returns the server; call
+    ``serve_forever`` (or use :func:`run_state_server`)."""
     from .queue import JobQueue
     from .store import Store
 
@@ -143,6 +162,9 @@ def serve_state(host: str, port: int, db_path: str) -> ThreadingHTTPServer:
         "store": (store, _method_names(Store)),
         "queue": (queue, _method_names(JobQueue)),
     }
+    server.token = (
+        token if token is not None else os.environ.get("ALIGNER_STATE_TOKEN")
+    )
     return server
 
 
@@ -152,9 +174,14 @@ class _RemoteProxy:
     _target: str
     _methods: frozenset[str]
 
-    def __init__(self, url: str, timeout: float = 30.0):
+    def __init__(self, url: str, timeout: float = 30.0,
+                 token: str | None = None):
         self.url = url.rstrip("/")
         self.timeout = timeout
+        self.token = (
+            token if token is not None
+            else os.environ.get("ALIGNER_STATE_TOKEN")
+        )
 
     def _call(self, method: str, *args, **kwargs):
         body = json.dumps(
@@ -165,9 +192,11 @@ class _RemoteProxy:
                 "kwargs": _encode(dict(kwargs)),
             }
         ).encode()
+        headers = {"Content-Type": "application/json"}
+        if self.token:
+            headers["X-Aligner-Token"] = self.token
         req = urllib.request.Request(
-            f"{self.url}/rpc", data=body,
-            headers={"Content-Type": "application/json"},
+            f"{self.url}/rpc", data=body, headers=headers,
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             payload = json.loads(resp.read())
@@ -220,7 +249,10 @@ def run_state_server(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="aligner-state", description=__doc__,
     )
-    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address; multi-host deploys pass an "
+                         "internal interface explicitly and should set "
+                         "ALIGNER_STATE_TOKEN")
     ap.add_argument("--port", type=int, default=3031)
     ap.add_argument("--db", default=None, help="sqlite path (ALIGNER_DB)")
     args = ap.parse_args(argv)

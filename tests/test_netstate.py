@@ -151,3 +151,24 @@ def test_concurrent_remote_workers_at_least_once(endpoint):
     q1.commit(list(ids1))
     q2.commit(list(ids2))
     assert q1.pending("race", "grp") == 0
+
+
+def test_token_gating(tmp_path, monkeypatch):
+    server = serve_state("127.0.0.1", 0, str(tmp_path / "tok.db"),
+                         token="s3cret")
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            RemoteQueue(url, token=None).pending("t")  # no token -> 403
+        with pytest.raises(urllib.error.HTTPError):
+            RemoteQueue(url, token="wrong").pending("t")
+        assert RemoteQueue(url, token="s3cret").pending("t") == 0
+        # clients pick the token up from the env contract too
+        monkeypatch.setenv("ALIGNER_STATE_TOKEN", "s3cret")
+        assert RemoteQueue(url).pending("t") == 0
+    finally:
+        server.shutdown()

@@ -156,3 +156,26 @@ def test_chunked_hardware_spot(rng):
     assert end == ref.score[3000, 900]
     np.testing.assert_array_equal(qa, ref.query_aligned)
     np.testing.assert_array_equal(ta, ref.target_aligned)
+
+
+def test_pack_matrix_words_agrees_with_pallas_dp(rng):
+    """The host packer and pallas_dp's traced packing produce identical
+    words — the cross-engine byte-layout contract."""
+    import jax.numpy as jnp
+
+    from aligner_tpu.ops.wavefront import pack_matrix_words
+
+    M = rng.integers(-30, 30, (24, 24))
+    host_words = pack_matrix_words(M)
+
+    # re-derive via the jnp formulation used inside pallas_dp._run
+    mat = jnp.asarray(M, jnp.int32)
+    rows = []
+    for g in range(6):
+        w = jnp.zeros((24,), jnp.int32)
+        for k in range(4):
+            v = 4 * g + k
+            if v < 24:
+                w = w + ((mat[v] + 128) << (8 * k))
+        rows.append(w)
+    np.testing.assert_array_equal(np.asarray(jnp.stack(rows)), host_words)
