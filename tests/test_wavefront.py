@@ -179,3 +179,20 @@ def test_pack_matrix_words_agrees_with_pallas_dp(rng):
                 w = w + ((mat[v] + 128) << (8 * k))
         rows.append(w)
     np.testing.assert_array_equal(np.asarray(jnp.stack(rows)), host_words)
+
+
+def test_chunked_block_boundary_shapes(rng):
+    """Row counts exactly at / one past the checkpoint block size."""
+    from aligner_tpu.ops.wavefront import align_single_global_chunked
+
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 45).astype(np.int8)
+    for R in (64, 65, 128, 127):
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 11.0, 2.0)
+        end, qa, ta, _ = align_single_global_chunked(
+            q, t, M, 11.0, 2.0, tb_rows=64, tr=16, interpret=True
+        )
+        assert end == ref.score[R, 45]
+        np.testing.assert_array_equal(qa, ref.query_aligned)
+        np.testing.assert_array_equal(ta, ref.target_aligned)
