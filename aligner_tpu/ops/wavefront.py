@@ -88,7 +88,14 @@ def _flat_shift_right(x, fill, S):
 
 
 def _prefix_max_flat(x, S):
-    """Inclusive max-prefix-scan over the flattened (S, 128) tile."""
+    """Inclusive max-prefix-scan over the flattened (S, 128) tile.
+
+    Two-level: a lane scan inside each 128-wide chunk, then a sublane
+    scan of the chunk maxima.  (Measured alternatives on v5e: running
+    the chunk scan on a (1, S) transpose of the maxima column, or
+    replacing the dynamic packed-word read with slab selects, were both
+    SLOWER — Mosaic transposes/relayouts cost more than the log2(S)
+    sublane-roll steps they save.)"""
     lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
     k = 1
     while k < LANES:
