@@ -60,8 +60,12 @@ def pack_matrix_words(matrix: np.ndarray) -> np.ndarray:
     """Column-packed score words: out[g, j] holds the 4 biased bytes
     matrix[4g..4g+3, j] in one int32 (the layout every wavefront kernel
     and pallas_dp's packed-LUT path consume; pallas_dp._run re-derives
-    the same layout with traced jnp ops — tests pin their agreement)."""
+    the same layout with traced jnp ops — tests pin their agreement).
+    Entries must fit a biased byte (|m| <= 127) — enforced, because an
+    overflowing byte silently corrupts neighboring scores."""
     mi = np.round(np.asarray(matrix)).astype(np.int64)
+    if np.abs(mi).max(initial=0) > 127:
+        raise ValueError("pack_matrix_words requires |entries| <= 127")
     V = mi.shape[0]
     n_words = _cdiv(V, 4)
     pmat = np.zeros((n_words, mi.shape[1]), np.int64)
@@ -403,8 +407,10 @@ def fill_single_global(
     """
     pp = _prep(q, t, matrix, del_, ext)
     S, C_real, R_real = pp["S"], pp["C_real"], pp["R_real"]
+    if C_real == 0 or R_real == 0:
+        raise ValueError("empty sequence")
     assert tr % ROWS_PER_WORD == 0
-    R_pad = _cdiv(max(R_real, 1), tr) * tr
+    R_pad = _cdiv(R_real, tr) * tr
     tp = np.zeros(R_pad, np.int32)
     tp[:R_real] = pp["t"]
     if interpret is None:
@@ -441,9 +447,10 @@ def fill_single_global(
 
 
 def _kernel_block_cs(
-    q_ref,  # (S, 128) i32 local query codes (padded with V)
+    pw_ref,  # (n_words, S, 128) i32 packed score words by query symbol
+    # — built ONCE per device outside the kernel (it depends only on the
+    # local query), not per pipeline step
     t_ref,  # (1, TR) i32 target codes of this row block (SMEM)
-    pmat_ref,  # (n_words, V) i32 column-packed matrix (SMEM)
     h0_ref,  # (S, 128) i32 previous row (local columns)
     lb_ref,  # (1, TR + 1) i32: H[y_base + r, x0] for r = 0..TR (SMEM)
     scal_ref,  # (1, 2) i32 SMEM: [x0, y_base]
@@ -451,7 +458,6 @@ def _kernel_block_cs(
     rb_ref,  # (1, TR) i32 out (SMEM): right boundary per row
     end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen] when owned
     h_ref,  # VMEM scratch (S, 128)
-    pw_ref,  # VMEM scratch (n_words, S, 128)
     *,
     S: int,
     TR: int,
@@ -461,7 +467,6 @@ def _kernel_block_cs(
     del_: int,
     ext: int,
 ):
-    n_words = _cdiv(V, 4)
     P = jnp.int32(ext)
     DEL = jnp.int32(del_)
     sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
@@ -475,12 +480,6 @@ def _kernel_block_cs(
 
     end_ref[0, 0] = 0  # only the owning block overwrites
     h_ref[:] = h0_ref[:]
-    qx = q_ref[:]
-    for g in range(n_words):
-        w = jnp.zeros((S, LANES), jnp.int32)
-        for v in range(V):
-            w = w + pmat_ref[g, v] * (qx == v).astype(jnp.int32)
-        pw_ref[g] = w
 
     def row(r, _):
         y = y_base + r + 1
@@ -518,6 +517,20 @@ def _kernel_block_cs(
     hout_ref[:] = h_ref[:]
 
 
+def pack_query_words(q_tile, pmat, V: int):
+    """Per-query packed score words pw[g][x] = the 4 biased bytes
+    mat[4g..4g+3, q[x]], as plain jnp ops — computed once per device and
+    fed to :func:`run_block_cs` (the table depends only on the query)."""
+    n_words = _cdiv(V, 4)
+    rows = []
+    for g in range(n_words):
+        w = jnp.zeros(q_tile.shape, jnp.int32)
+        for v in range(V):
+            w = w + pmat[g, v] * (q_tile == v).astype(jnp.int32)
+        rows.append(w)
+    return jnp.stack(rows)  # (n_words, S, 128)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -525,9 +538,8 @@ def _kernel_block_cs(
     ),
 )
 def run_block_cs(
-    q_tile,  # (S, 128) i32
+    pw,  # (n_words, S, 128) i32 from pack_query_words
     t_rows,  # (1, TR) i32
-    pmat,  # (n_words, V) i32
     h_prev,  # (S, 128) i32
     lbound,  # (1, TR + 1) i32
     scalars,  # (1, 2) i32: [x0, y_base]
@@ -553,9 +565,9 @@ def run_block_cs(
         kernel,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_words, S, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR + 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -572,10 +584,9 @@ def run_block_cs(
         ),
         scratch_shapes=[
             pltpu.VMEM((S, LANES), jnp.int32),
-            pltpu.VMEM((n_words, S, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(q_tile, t_rows, pmat, h_prev, lbound, scalars)
+    )(pw, t_rows, h_prev, lbound, scalars)
     return out
 
 
@@ -613,7 +624,9 @@ def align_single_global_chunked(
         interpret = not on_tpu()
 
     # --- forward: scores-only with checkpoints every tb_rows ---
-    TB = tb_rows
+    # clamp the block size to the (tr-aligned) target length so
+    # wide-short pairs don't fill and replay mostly padding
+    TB = min(tb_rows, max(_cdiv(R_real, tr) * tr, tr))
     R_pad = _cdiv(R_real, TB) * TB  # block-align so replays are uniform
     tp = np.zeros(R_pad, np.int32)
     tp[:R_real] = t

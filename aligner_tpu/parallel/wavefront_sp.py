@@ -74,6 +74,10 @@ def sharded_global_end_score(
     n = mesh.shape[axis]
     if engine is None:
         engine = "pallas" if _on_tpu() else "lax"
+    if engine == "pallas" and np.abs(np.round(np.asarray(matrix))).max(initial=0) > 127:
+        # the packed-byte score words need int8 entries; the lax block
+        # fill handles any integral matrix exactly
+        engine = "lax"
     if interpret is None:
         interpret = not _on_tpu()
     q = np.asarray(q, np.int32)
@@ -131,6 +135,11 @@ def sharded_global_end_score(
         x1 = xg + 1
         h0 = jnp.where(x1 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x1 * DEL)
         xp = x1 * EXT
+        if engine == "pallas":
+            from ..ops.wavefront import pack_query_words
+
+            # per-query score table: once per device, reused every step
+            pw = pack_query_words(q_local.reshape(S_loc, 128), mat, V)
 
         def row_fill(carry, inputs):
             prev, end = carry
@@ -176,8 +185,8 @@ def sharded_global_end_score(
                 lb = jnp.concatenate([last_bound[None], bl_cur])
                 scal = jnp.stack([x0, jc * tr]).reshape(1, 2)
                 h_new, rights2d, endv = run_block_cs(
-                    q_local.reshape(S_loc, 128),
-                    t_rows.reshape(1, tr), mat,
+                    pw,
+                    t_rows.reshape(1, tr),
                     prev.reshape(S_loc, 128), lb.reshape(1, tr + 1),
                     scal,
                     S=S_loc, TR=tr, V=V, C_real=C_real, R_real=R_real,

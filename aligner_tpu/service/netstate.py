@@ -17,9 +17,11 @@ Run the endpoint with ``python -m aligner_tpu.service.netstate --db
 /path/state.db --port 3031`` (deploy/launch_pod.sh does this on host 0).
 
 Security: the endpoint binds 127.0.0.1 by default; multi-host deploys
-bind an internal interface explicitly AND set ``ALIGNER_STATE_TOKEN``
-(a shared secret) — the server then rejects requests without a matching
-``X-Aligner-Token`` header, and the clients attach it automatically.
+bind an internal interface explicitly and SHOULD set
+``ALIGNER_STATE_TOKEN`` (a shared secret exported on every host —
+deploy/launch_pod.sh warns loudly when it is missing) — the server then
+rejects requests without a matching ``X-Aligner-Token`` header, and the
+clients attach it automatically.
 The reference's MariaDB at least required credentials
 (config/node/dev.env); an open state endpoint would let anyone with
 network reach read or corrupt the results database.
@@ -100,7 +102,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         token = self.server.token
         if token and not hmac.compare_digest(
-            self.headers.get("X-Aligner-Token", ""), token
+            self.headers.get("X-Aligner-Token", "").encode("utf-8", "replace"),
+            token.encode("utf-8", "replace"),
         ):
             self.send_error(403, "bad or missing X-Aligner-Token")
             return

@@ -30,6 +30,13 @@ STATE_PORT="${ALIGNER_STATE_PORT:-3031}"
 HTTP_PORT="${ALIGNER_HTTP_PORT:-3030}"
 export ALIGNER_LOG="${ALIGNER_LOG:-info}"
 
+if [ -z "${ALIGNER_STATE_TOKEN:-}" ]; then
+  echo "WARNING: ALIGNER_STATE_TOKEN is not set — the state endpoint" >&2
+  echo "WARNING: accepts unauthenticated writes from anyone who can" >&2
+  echo "WARNING: reach ${COORDINATOR}:${STATE_PORT}. Export the same" >&2
+  echo "WARNING: shared secret on every host for production use." >&2
+fi
+
 if [ "$HOST_INDEX" = "0" ]; then
   export ALIGNER_DB="${ALIGNER_DB:-/srv/aligner/aligner.db}"
   mkdir -p "$(dirname "$ALIGNER_DB")"

@@ -154,6 +154,7 @@ def test_concurrent_remote_workers_at_least_once(endpoint):
 
 
 def test_token_gating(tmp_path, monkeypatch):
+    monkeypatch.delenv("ALIGNER_STATE_TOKEN", raising=False)
     server = serve_state("127.0.0.1", 0, str(tmp_path / "tok.db"),
                          token="s3cret")
     thread = threading.Thread(target=server.serve_forever, daemon=True)
@@ -163,7 +164,8 @@ def test_token_gating(tmp_path, monkeypatch):
         import urllib.error
 
         with pytest.raises(urllib.error.HTTPError):
-            RemoteQueue(url, token=None).pending("t")  # no token -> 403
+            # token="" = explicitly none (None falls back to the env)
+            RemoteQueue(url, token="").pending("t")  # no token -> 403
         with pytest.raises(urllib.error.HTTPError):
             RemoteQueue(url, token="wrong").pending("t")
         assert RemoteQueue(url, token="s3cret").pending("t") == 0

@@ -196,3 +196,25 @@ def test_chunked_block_boundary_shapes(rng):
         assert end == ref.score[R, 45]
         np.testing.assert_array_equal(qa, ref.query_aligned)
         np.testing.assert_array_equal(ta, ref.target_aligned)
+
+
+def test_empty_sequences_raise():
+    from aligner_tpu.ops.wavefront import (
+        align_single_global_chunked,
+        fill_single_global,
+        pack_matrix_words,
+    )
+
+    M = np.asarray(at.blosum62())
+    with pytest.raises(ValueError):
+        fill_single_global(np.zeros(0, np.int8), np.zeros(5, np.int8),
+                           M, 11.0, 2.0, interpret=True)
+    with pytest.raises(ValueError):
+        fill_single_global(np.zeros(5, np.int8), np.zeros(0, np.int8),
+                           M, 11.0, 2.0, interpret=True)
+    with pytest.raises(ValueError):
+        align_single_global_chunked(np.zeros(0, np.int8),
+                                    np.zeros(5, np.int8), M, 11.0, 2.0,
+                                    interpret=True)
+    with pytest.raises(ValueError):
+        pack_matrix_words(np.full((24, 24), 200.0))

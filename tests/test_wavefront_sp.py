@@ -92,3 +92,15 @@ def test_pallas_engine_hardware_spot(rng):
     end = sharded_global_end_score(mesh1, q, t, M, 11.0, 2.0, tr=128,
                                    engine="pallas", interpret=False)
     assert end == ref.score[900, 700]
+
+
+def test_pallas_engine_wide_entry_matrix_falls_back(mesh, rng):
+    """Integral matrices beyond int8 cannot use the packed-byte pallas
+    engine — it must fall back to the lax fill, not corrupt scores."""
+    M = rng.integers(-200, 200, (24, 24)).astype(np.float64)
+    q = rng.integers(0, 24, 300).astype(np.int8)
+    t = rng.integers(0, 24, 200).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end = sharded_global_end_score(mesh, q, t, M, 11.0, 2.0,
+                                   engine="pallas")
+    assert end == ref.score[200, 300]
