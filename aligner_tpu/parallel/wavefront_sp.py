@@ -115,6 +115,8 @@ def sharded_global_end_score(
     in_specs = (P(axis), P(), P())
     out_specs = P()
 
+    @jax.jit  # one compiled program per device; an eager shard_map
+    # dispatches op-by-op (catastrophic through a remote tunnel)
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
