@@ -74,9 +74,19 @@ class Dispatcher:
     # --- handlers ---
 
     def health_check(self) -> dict:
+        """Same wire shape as the reference ({consumerName, status},
+        handlers.rs:32-70) but ``status`` reflects actual liveness (the
+        reference's Kafka metadata only lists live members, so its
+        hardcoded ``true`` means the same thing); stale consumers appear
+        with ``status: false``, plus additive detail fields."""
         nodes = [
-            {"consumerName": name, "status": True}
-            for name in self.queue.group_members(GROUP)
+            {
+                "consumerName": s["name"],
+                "status": s["alive"],
+                "lastSeenAgeSec": round(s["last_seen_age"], 3),
+                "claimedJobs": s["claimed"],
+            }
+            for s in self.queue.group_member_stats(GROUP)
         ]
         return {"nodes": nodes}
 
@@ -129,9 +139,12 @@ class Dispatcher:
         percentages = {}
         for h in hashes:
             pct = self.store.get_percentage_by_hash(h)
-            if abs(pct - 100.0) < 1e-12:
+            # >= (not ==): a duplicate subtask overshooting the count
+            # must still promote, never deadlock (handlers.rs:165-172's
+            # == gate relies on Kafka duplicates being rare)
+            if pct >= 100.0 - 1e-9:
                 self.store.promote_if_complete(h)
-            percentages[h] = pct
+            percentages[h] = min(pct, 100.0)
         return {"progress": percentages, "message": MSG_PROGRESS}
 
 

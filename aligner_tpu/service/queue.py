@@ -102,6 +102,32 @@ class JobQueue:
             ).fetchall()
         return [r[0] for r in rows]
 
+    def group_member_stats(self, group: str) -> list[dict]:
+        """Per-consumer liveness + load, for ``/health/check`` — the
+        reference reports actual member state from Kafka group metadata
+        (handlers.rs:32-70), not a hardcoded flag.  Every registered
+        consumer is listed; ``alive`` reflects the heartbeat window and
+        ``claimed`` counts its currently-leased jobs."""
+        now = time.time()
+        with self._conn() as c:
+            rows = c.execute(
+                """select cs.name, cs.last_seen,
+                          (select count(1) from jobs j
+                           where j.consumer = cs.name and j.status = 'claimed'
+                             and j.lease_until >= ?) as claimed
+                   from consumers cs where cs.grp = ? order by cs.name""",
+                (now, group),
+            ).fetchall()
+        return [
+            {
+                "name": r[0],
+                "alive": (now - r[1]) <= HEALTH_WINDOW,
+                "last_seen_age": max(now - r[1], 0.0),
+                "claimed": int(r[2]),
+            }
+            for r in rows
+        ]
+
     def claim_batch(
         self,
         topic: str,
@@ -110,9 +136,20 @@ class JobQueue:
         limit: int = 64,
         lease: float = 120.0,
     ) -> list[tuple[int, str]]:
-        """Claim up to ``limit`` ready (or lease-expired) jobs."""
+        """Claim up to ``limit`` ready (or lease-expired) jobs.
+
+        Mutual exclusion matches Kafka's consumer-group ownership
+        (node/main.rs:32-44): ``BEGIN IMMEDIATE`` takes the sqlite write
+        lock before the candidate SELECT, so two concurrently polling
+        workers serialize and can never claim the same job; the per-row
+        UPDATE additionally rechecks claimability and its rowcount gates
+        membership in the returned batch, guarding against any writer
+        that bypassed the immediate transaction."""
         now = time.time()
+        claimed: list[tuple[int, str]] = []
         with self._conn() as c:
+            c.isolation_level = None  # explicit transaction control
+            c.execute("begin immediate")
             rows = c.execute(
                 """select id, payload from jobs
                    where topic = ? and grp = ?
@@ -121,15 +158,17 @@ class JobQueue:
                    order by id limit ?""",
                 (topic, group, now, limit),
             ).fetchall()
-            ids = [r[0] for r in rows]
-            if ids:
-                marks = ",".join("?" * len(ids))
-                c.execute(
-                    f"update jobs set status='claimed', consumer=?, lease_until=? "
-                    f"where id in ({marks})",
-                    (consumer, now + lease, *ids),
+            for job_id, payload in rows:
+                cur = c.execute(
+                    """update jobs set status='claimed', consumer=?, lease_until=?
+                       where id = ?
+                         and (status = 'ready'
+                              or (status = 'claimed' and lease_until < ?))""",
+                    (consumer, now + lease, job_id, now),
                 )
-        return [(r[0], r[1]) for r in rows]
+                if cur.rowcount == 1:
+                    claimed.append((job_id, payload))
+        return claimed
 
     def commit(self, job_ids: list[int]) -> None:
         if not job_ids:

@@ -48,8 +48,15 @@ _SCHEMA = [
         f_value double not null,
         matrix_json text not null,
         result_query_sequence text,
-        result_target_sequence text
+        result_target_sequence text,
+        source_key text
     )""",
+    # at-least-once queue delivery (lease redelivery) may hand the same
+    # job to two workers; keying subtasks by origin job makes the insert
+    # idempotent so the completion count stays exact (Kafka gets this
+    # from offset semantics; node/main.rs:76-88 relies on it)
+    """create unique index if not exists subtasks_source
+       on align_subtasks (task_id, source_key)""",
     """create table if not exists result_matrices (
         id integer primary key autoincrement,
         task_id int not null references align_tasks (id),
@@ -90,7 +97,15 @@ class Store:
         self.path = path or default_db_path()
         with self._conn() as c:
             for q in _SCHEMA:
-                c.execute(q)
+                try:
+                    c.execute(q)
+                except sqlite3.OperationalError:
+                    # pre-existing DB whose align_subtasks predates the
+                    # source_key column: migrate in place, then retry
+                    c.execute(
+                        "alter table align_subtasks add column source_key text"
+                    )
+                    c.execute(q)
 
     @contextmanager
     def _conn(self):
@@ -138,16 +153,26 @@ class Store:
     def insert_align_subtask(
         self, hash_: str, f_value: float, matrix: np.ndarray,
         result_query: str, result_target: str,
+        source_key: str | None = None,
     ) -> None:
+        """``source_key`` (the origin queue-job id) makes the insert
+        idempotent under at-least-once redelivery: a duplicate delivery
+        of the same job is a no-op instead of a duplicate subtask that
+        would overshoot the completion percentage.  ``None`` keeps the
+        unkeyed (always-insert) behavior for direct API use."""
         task_id = self.get_task_id_by_hash(hash_)
         if task_id is None:
             raise ValidationError(f"no task with hash {hash_}")
         with self._conn() as c:
             c.execute(
-                """insert into align_subtasks
+                """insert or ignore into align_subtasks
                    (task_id, f_value, matrix_json, result_query_sequence,
-                    result_target_sequence) values (?,?,?,?,?)""",
-                (task_id, f_value, matrix_to_json(matrix), result_query, result_target),
+                    result_target_sequence, source_key) values (?,?,?,?,?,?)""",
+                (
+                    task_id, f_value, matrix_to_json(matrix),
+                    result_query, result_target,
+                    None if source_key is None else str(source_key),
+                ),
             )
 
     def get_percentage_by_hash(self, hash_: str) -> float:
@@ -202,14 +227,54 @@ class Store:
 
     def promote_if_complete(self, hash_: str) -> bool:
         """The promotion step shared by the progress handler
-        (handlers.rs:165-172) and the updater (updater.rs:12-29)."""
-        if abs(self.get_percentage_by_hash(hash_) - 100.0) > 1e-12:
-            return False
-        best = self.get_best_subtask_by_hash(hash_)
-        if best is None:
-            return False
-        self.insert_result_matrix_by_hash(best, hash_)
-        self.delete_subtasks_by_hash(hash_)
+        (handlers.rs:165-172) and the updater (updater.rs:12-29).
+
+        One ``BEGIN IMMEDIATE`` transaction so two concurrent progress
+        streams cannot both promote (exactly one result_matrices row per
+        task), and the gate is ``>= 100%`` rather than ``== 100%``: a
+        rare unkeyed duplicate subtask overshooting the count must not
+        deadlock the task forever (the reference's ``== 100`` gate only
+        survives because Kafka rebalance duplicates are rare)."""
+        with self._conn() as c:
+            c.isolation_level = None
+            c.execute("begin immediate")
+            task = c.execute(
+                """select id, matrices_volume_value, status
+                   from align_tasks where hash = ?""",
+                (hash_,),
+            ).fetchone()
+            if task is None:
+                return False
+            task_id, volume, status = task
+            if status == "DONE":
+                return False  # already promoted (idempotence guard)
+            count = c.execute(
+                "select count(1) from align_subtasks where task_id = ?",
+                (task_id,),
+            ).fetchone()[0]
+            if count * 100.0 < 100.0 * volume - 1e-9:
+                return False
+            best = c.execute(
+                """select f_value, matrix_json, result_query_sequence,
+                          result_target_sequence
+                   from align_subtasks where task_id = ?
+                   order by f_value desc limit 1""",
+                (task_id,),
+            ).fetchone()
+            if best is None:
+                return False
+            c.execute(
+                """insert into result_matrices
+                   (task_id, f_value, matrix_json, result_query_sequence,
+                    result_target_sequence) values (?,?,?,?,?)""",
+                (task_id, float(best[0]), best[1], best[2], best[3]),
+            )
+            c.execute(
+                "update align_tasks set status = 'DONE' where id = ?", (task_id,)
+            )
+            c.execute(
+                "delete from align_subtasks where task_id = ?", (task_id,)
+            )
         return True
 
     # --- p-value backfill (calc bin) ---

@@ -94,16 +94,21 @@ class Worker:
             done_ids = []
             for (job_id, _), res in zip(items, results):
                 qa, ta = res.alignment.render()
+                # source_key = queue job id: a lease-expiry redelivery of
+                # this job (crash between store and commit) re-inserts
+                # idempotently instead of duplicating the subtask
                 try:
                     self.store.insert_align_subtask(
-                        hash_, res.alignment.f, res.matrix, qa, ta
+                        hash_, res.alignment.f, res.matrix, qa, ta,
+                        source_key=str(job_id),
                     )
                 except Exception:
                     # one retry on a fresh connection (node/main.rs:78-88)
                     time.sleep(0.05)
                     try:
                         self.store.insert_align_subtask(
-                            hash_, res.alignment.f, res.matrix, qa, ta
+                            hash_, res.alignment.f, res.matrix, qa, ta,
+                            source_key=str(job_id),
                         )
                     except Exception:
                         continue  # job stays claimed → redelivered on lease expiry

@@ -128,8 +128,12 @@ def tpu_gcups() -> tuple[float, str]:
                 # CSE the chain down to 1-2 real launches — the round-1
                 # benchmark bug that inflated GCUPS ~3x (PERF_NOTES.md)
                 dep = acc.astype(jnp.int32) & 1
+                # stay inside the V=24 alphabet: plain `t4 + dep` would
+                # shift codes to 24 and read garbage LUT words when
+                # dep==1 (ADVICE r2); modulo keeps the data dependence
+                # with every code valid
                 out = P._run(
-                    q4, t4 + dep, ql4, tl4, m4, 11.0, 2.0, mode="local",
+                    q4, (t4 + dep) % 24, ql4, tl4, m4, 11.0, 2.0, mode="local",
                     with_planes=False, dtype=jnp.float32, interpret=False,
                     packed_lut=True, dense=True, track_argmax=False,
                 )

@@ -30,11 +30,23 @@ STATE_PORT="${ALIGNER_STATE_PORT:-3031}"
 HTTP_PORT="${ALIGNER_HTTP_PORT:-3030}"
 export ALIGNER_LOG="${ALIGNER_LOG:-info}"
 
-if [ -z "${ALIGNER_STATE_TOKEN:-}" ]; then
-  echo "WARNING: ALIGNER_STATE_TOKEN is not set — the state endpoint" >&2
-  echo "WARNING: accepts unauthenticated writes from anyone who can" >&2
-  echo "WARNING: reach ${COORDINATOR}:${STATE_PORT}. Export the same" >&2
-  echo "WARNING: shared secret on every host for production use." >&2
+# Fail closed: a multi-host launch binds the state endpoint on 0.0.0.0,
+# and without a token it would accept unauthenticated RPCs (read/corrupt
+# the results DB, drain the queue) from anything with network reach.
+# Export the same ALIGNER_STATE_TOKEN on every host, or set
+# ALIGNER_ALLOW_INSECURE=1 for an isolated/trusted network.
+if [ -z "${ALIGNER_STATE_TOKEN:-}" ] && [ "$NUM_HOSTS" -gt 1 ]; then
+  if [ "${ALIGNER_ALLOW_INSECURE:-0}" = "1" ]; then
+    echo "WARNING: ALIGNER_STATE_TOKEN unset; proceeding because" >&2
+    echo "WARNING: ALIGNER_ALLOW_INSECURE=1 — the state endpoint at" >&2
+    echo "WARNING: ${COORDINATOR}:${STATE_PORT} accepts unauthenticated writes." >&2
+  else
+    echo "ERROR: multi-host launch (NUM_HOSTS=$NUM_HOSTS) without" >&2
+    echo "ERROR: ALIGNER_STATE_TOKEN. Export the same shared secret on" >&2
+    echo "ERROR: every host, or set ALIGNER_ALLOW_INSECURE=1 for an" >&2
+    echo "ERROR: isolated network." >&2
+    exit 1
+  fi
 fi
 
 if [ "$HOST_INDEX" = "0" ]; then

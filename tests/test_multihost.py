@@ -123,6 +123,9 @@ def test_launch_pod_script_two_hosts(tmp_path):
         # under full-suite load startup alone can eat tens of seconds
         ALIGNER_WORKER_ARGS="--backend xla --poll-interval 0.2 --max-batches 3000",
         ALIGNER_LOG="info",
+        # multi-host launches fail closed without a shared token; this
+        # also exercises the authenticated state-RPC path end to end
+        ALIGNER_STATE_TOKEN="test-pod-secret",
     )
     env_h1 = dict(env)
     del env_h1["ALIGNER_DB"]  # host 1 must derive the HTTP endpoint itself

