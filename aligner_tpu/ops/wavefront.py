@@ -350,8 +350,24 @@ MAX_WIDTH = 256 * 1024  # VMEM bound: packed words are 24C bytes
 DIRECT_PLANE_CELLS = 1 << 26
 
 
-def supported(qlen: int, matrix, del_, ext) -> bool:
-    return qlen <= MAX_WIDTH and _integral_int8(matrix, del_, ext)
+def range_ok(qlen: int, tlen: int, del_, ext) -> bool:
+    """int32-exactness guard: the kernel's arithmetic must stay well
+    inside int32.  |H| is bounded by the deeper of the gap ramp
+    (-(R+C+2)·max(del,ext) along the borders) and the match ramp
+    (min(R,C)·127 down the diagonal); the prefix-scan terms a + x·ext
+    add another (C+1)·ext + del on top.  Beyond this (≈97M rows at
+    del=11) scores silently wrap — refuse instead (ADVICE r2)."""
+    pen = max(int(del_), int(ext), 1)
+    h_abs = max((qlen + tlen + 2) * pen, min(qlen, tlen) * 127)
+    return h_abs + (qlen + 1) * max(int(ext), 1) + int(del_) < 2**30
+
+
+def supported(qlen: int, matrix, del_, ext, tlen: int | None = None) -> bool:
+    return (
+        qlen <= MAX_WIDTH
+        and _integral_int8(matrix, del_, ext)
+        and (tlen is None or range_ok(qlen, tlen, del_, ext))
+    )
 
 
 def _prep(q, t, matrix, del_, ext):
@@ -360,9 +376,10 @@ def _prep(q, t, matrix, del_, ext):
     t = np.asarray(t, np.int32)
     matrix = np.asarray(matrix)
     V = matrix.shape[0]
-    if not supported(len(q), matrix, del_, ext):
-        raise ValueError("wavefront engine: integral matrix/penalties and "
-                         f"qlen <= {MAX_WIDTH} required")
+    if not supported(len(q), matrix, del_, ext, tlen=len(t)):
+        raise ValueError("wavefront engine: integral matrix/penalties, "
+                         f"qlen <= {MAX_WIDTH}, and int32-range scores "
+                         "(see range_ok) required")
     C_real, R_real = len(q), len(t)
     S = max(_cdiv(C_real, LANES), 1)
     C_pad = S * LANES
@@ -457,8 +474,7 @@ def _kernel_block_cs(
     hout_ref,  # (S, 128) i32 out: new row
     rb_ref,  # (1, TR) i32 out (SMEM): right boundary per row
     end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen] when owned
-    h_ref,  # VMEM scratch (S, 128)
-    *,
+    *refs,
     S: int,
     TR: int,
     V: int,
@@ -466,7 +482,12 @@ def _kernel_block_cs(
     R_real: int,
     del_: int,
     ext: int,
+    with_dirs: bool,
 ):
+    if with_dirs:
+        dirs_ref = refs[0]
+        refs = refs[1:]
+    (h_ref,) = refs
     P = jnp.int32(ext)
     DEL = jnp.int32(del_)
     sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
@@ -481,7 +502,7 @@ def _kernel_block_cs(
     end_ref[0, 0] = 0  # only the owning block overwrites
     h_ref[:] = h0_ref[:]
 
-    def row(r, _):
+    def row(r, word):
         y = y_base + r + 1
         ty = t_ref[0, r]
         w = pw_ref[ty >> 2]
@@ -511,9 +532,25 @@ def _kernel_block_cs(
             # one-hot masked reduction: dynamic per-lane reads are not a
             # vector op, a masked sum is
             end_ref[0, 0] = jnp.sum(jnp.where(flat == c_local, h, 0))
-        return 0
+        if with_dirs:
+            # same tie policy as _kernel (top > left > diagonal,
+            # enums.rs:18-28); the only DEL-penalty cell is global (1,1)
+            pen_d = jnp.where(is11 & first, DEL, P)
+            top = prev - pen_d
+            leftv = _flat_shift_right(h, bcur, S) - pen_d
+            d = jnp.where(
+                h <= top,
+                jnp.int32(TOP),
+                jnp.where(h <= leftv, jnp.int32(LEFT), jnp.int32(DIAG)),
+            )
+            word = word | (d << (2 * (r % ROWS_PER_WORD)))
+            @pl.when(r % ROWS_PER_WORD == ROWS_PER_WORD - 1)
+            def _store():
+                dirs_ref[r // ROWS_PER_WORD] = word
+            word = jnp.where(r % ROWS_PER_WORD == ROWS_PER_WORD - 1, 0, word)
+        return word
 
-    lax.fori_loop(0, TR, row, 0)
+    lax.fori_loop(0, TR, row, jnp.zeros((S, LANES), jnp.int32))
     hout_ref[:] = h_ref[:]
 
 
@@ -535,6 +572,7 @@ def pack_query_words(q_tile, pmat, V: int):
     jax.jit,
     static_argnames=(
         "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
+        "with_dirs",
     ),
 )
 def run_block_cs(
@@ -552,15 +590,40 @@ def run_block_cs(
     del_: int,
     ext: int,
     interpret: bool,
+    with_dirs: bool = False,
 ):
     """One column-sharded row-block fill.  Returns (h_new, rights, end)
-    where ``end`` is H[tlen, qlen] if this block/device owns it else 0."""
+    — plus a packed (TR/16, S, 128) direction-word tile when
+    ``with_dirs`` (the traceback replay path of the cross-chip
+    wavefront) — where ``end`` is H[tlen, qlen] if this block/device
+    owns it else 0."""
     kernel = functools.partial(
         _kernel_block_cs,
         S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
-        del_=int(del_), ext=int(ext),
+        del_=int(del_), ext=int(ext), with_dirs=with_dirs,
     )
     n_words = _cdiv(V, 4)
+    out_specs = [
+        pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TR), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((S, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((1, TR), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    ]
+    if with_dirs:
+        assert TR % ROWS_PER_WORD == 0
+        out_specs.append(
+            pl.BlockSpec(
+                (TR // ROWS_PER_WORD, S, LANES), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((TR // ROWS_PER_WORD, S, LANES), jnp.int32)
+        )
     out = pl.pallas_call(
         kernel,
         grid=(1,),
@@ -572,16 +635,8 @@ def run_block_cs(
             pl.BlockSpec((1, TR + 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TR), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((S, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, TR), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=[
             pltpu.VMEM((S, LANES), jnp.int32),
         ],

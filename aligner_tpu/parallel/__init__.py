@@ -18,10 +18,13 @@ from .mesh import (
     sharded_scores,
     window_scan_step,
 )
+from .wavefront_sp import sharded_global_align, sharded_global_end_score
 
 __all__ = [
     "make_mesh",
     "sharded_scores",
     "window_scan_step",
     "matrix_population_step",
+    "sharded_global_align",
+    "sharded_global_end_score",
 ]

@@ -17,16 +17,22 @@ right-boundary vector hops one device over ICI (``lax.ppermute``).
 With J row blocks the pipeline runs J + n - 1 steps: efficiency
 J/(J+n-1) → 1 for long targets.
 
-The block fill is plain lax (gather + ``lax.cummax``) — the portable
-exactness path, bit-identical to the float64 oracle for integral
-matrices via int32 arithmetic.  The single-chip Pallas kernel
-(ops/wavefront.py) remains the per-device speed path; swapping it into
-the block body is a local change because the pipeline only sees
-(prev_row, boundary) -> (new_row, boundary).
+Two per-device block engines: "pallas" (ops/wavefront.run_block_cs, the
+speed path, int8 matrices) and "lax" (portable gather + ``lax.cummax``,
+any integral matrix, no width cap).  Both are bit-identical to the
+float64 oracle via int32 arithmetic.
 
-Scores-only: returns H[tlen, qlen] (the global end score).  Cites:
-simple/mod.rs:42-144 (fill + borders), engine/calc.rs thread fan-out
-(what this replaces at single-problem scale).
+Exact alignments (not just end scores): the forward pipeline
+additionally records (a) one H-row checkpoint every ``tb_rows`` rows
+per device and (b) every left-boundary vector each device consumed —
+O(R·n + R·C/tb) ints instead of an O(R·C) plane.  The traceback then
+replays one (tb_rows × column-block) tile at a time *with* directions;
+the replayed tile is the identical DP restricted to that tile, so the
+backward walk follows exactly the directions a full-plane reference
+traceback would (no tie-break divergence by construction).  Cites:
+simple/mod.rs:42-144 (fill + borders), simple/mod.rs:99-127 (traceback
+semantics), engine/calc.rs thread fan-out (what this replaces at
+single-problem scale).
 """
 
 from __future__ import annotations
@@ -39,36 +45,20 @@ import numpy as np
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG = jnp.int32(-(2**30) // 2)
+# plain int (NOT a jnp scalar): importing this module must not touch
+# the XLA backend — jax.distributed.initialize() may run after import
+NEG = -(2**30) // 2
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
-def sharded_global_end_score(
-    mesh: Mesh,
-    q: np.ndarray,
-    t: np.ndarray,
-    matrix: np.ndarray,
-    del_: float,
-    ext: float,
-    *,
-    tr: int = 128,
-    axis: str | None = None,
-    engine: str | None = None,
-    interpret: bool | None = None,
-) -> float:
-    """Exact global end score H[tlen, qlen] of one pair, columns sharded
-    over the mesh axis.  Requires an integral matrix and penalties
-    (int32 arithmetic — bit-exact vs the oracle).
-
-    ``engine``: "pallas" runs each device's row-block through the
-    column-sharded wavefront kernel (ops/wavefront.run_block_cs — the
-    per-device speed path); "lax" uses the portable gather+cummax block
-    fill.  Default: pallas on TPU, lax elsewhere.
-    """
+def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
+                  tb_rows=None):
+    """Shared operand prep + validation for the sharded entry points."""
     from ..backend import on_tpu as _on_tpu
+    from ..ops.wavefront import range_ok
 
     axis = axis or mesh.axis_names[0]
     n = mesh.shape[axis]
@@ -89,6 +79,11 @@ def sharded_global_end_score(
         and float(ext) == int(ext)
     ):
         raise ValueError("sharded wavefront requires integral matrix/penalties")
+    if not range_ok(len(q), len(t), del_, ext):
+        raise ValueError(
+            "sharded wavefront: scores would exceed the int32-exact range "
+            "(see ops.wavefront.range_ok)"
+        )
     V = matrix.shape[0]
     C_real, R_real = len(q), len(t)
     if engine == "pallas":
@@ -101,6 +96,13 @@ def sharded_global_end_score(
     qp = np.full(C_pad, V, np.int32)
     qp[:C_real] = q
     J = _cdiv(R_real, tr)
+    stride = n_ck = None
+    if tb_rows is not None:
+        # checkpoint cadence must divide into whole tr-blocks, and the
+        # padded row count into whole checkpoints, so replays are uniform
+        stride = max(tb_rows // tr, 1)
+        J = _cdiv(J, stride) * stride
+        n_ck = J // stride
     R_pad = J * tr
     tp = np.zeros(R_pad, np.int32)
     tp[:R_real] = t
@@ -109,11 +111,32 @@ def sharded_global_end_score(
         from ..ops.wavefront import pack_matrix_words
 
         mi = jnp.asarray(pack_matrix_words(matrix))
-    DEL = np.int32(int(del_))
-    EXT = np.int32(int(ext))
+    return dict(
+        axis=axis, n=n, engine=engine, interpret=bool(interpret),
+        q=q, t=t, V=V, C_real=C_real, R_real=R_real,
+        Cb=Cb, S_loc=S_loc, C_pad=C_pad, qp=qp,
+        J=J, R_pad=R_pad, tp=tp, mi=mi,
+        DEL=np.int32(int(del_)), EXT=np.int32(int(ext)),
+        stride=stride, n_ck=n_ck,
+    )
+
+
+def _pipeline(mesh, pp, tr, with_trace: bool):
+    """Build + run the jitted shard_map pipeline.  Returns ``end`` or
+    ``(end, lb_hist (n, R_pad), ckpts (n_ck, C_pad))``."""
+    axis, n, engine = pp["axis"], pp["n"], pp["engine"]
+    interpret = pp["interpret"]
+    V, C_real, R_real = pp["V"], pp["C_real"], pp["R_real"]
+    Cb, S_loc = pp["Cb"], pp["S_loc"]
+    J, R_pad = pp["J"], pp["R_pad"]
+    DEL, EXT = pp["DEL"], pp["EXT"]
+    stride, n_ck = pp["stride"], pp["n_ck"]
 
     in_specs = (P(axis), P(), P())
-    out_specs = P()
+    if with_trace:
+        out_specs = (P(), P(axis, None), P(None, axis))
+    else:
+        out_specs = P()
 
     @jax.jit  # one compiled program per device; an eager shard_map
     # dispatches op-by-op (catastrophic through a remote tunnel)
@@ -169,7 +192,7 @@ def sharded_global_end_score(
             return (h, end), h[-1]
 
         def pipe_step(k, state):
-            prev, end, bound_in, last_bound = state
+            prev, end, bound_in, last_bound, lb_acc, ck_acc = state
             j = k - d  # this device's row block this step
             active = (j >= 0) & (j < J)
             jc = jnp.clip(j, 0, J - 1)
@@ -192,7 +215,7 @@ def sharded_global_end_score(
                     prev.reshape(S_loc, 128), lb.reshape(1, tr + 1),
                     scal,
                     S=S_loc, TR=tr, V=V, C_real=C_real, R_real=R_real,
-                    del_=int(DEL), ext=int(EXT), interpret=bool(interpret),
+                    del_=int(DEL), ext=int(EXT), interpret=interpret,
                 )
                 # block ownership of the end cell (end value may be 0)
                 c_loc = jnp.int32(C_real - 1) - x0
@@ -213,11 +236,25 @@ def sharded_global_end_score(
             end = jnp.where(active, new_end, end)
             rights = jnp.where(active, rights, jnp.zeros_like(rights))
             new_last = jnp.where(active, bl_cur[-1], last_bound)
+            if with_trace:
+                # record the consumed left boundary and (every stride-th
+                # block) the finished H row.  Inactive steps write to the
+                # trash slot at the end of each accumulator — in-place
+                # dynamic_update_slice on the loop carry, no O(R) where
+                lb_at = jnp.where(active, jc * tr, jnp.int32(R_pad))
+                lb_acc = lax.dynamic_update_slice(lb_acc, bl_cur, (lb_at,))
+                is_ck = active & ((jc + 1) % stride == 0)
+                ck_at = jnp.where(
+                    is_ck, (jc + 1) // stride - 1, jnp.int32(n_ck)
+                )
+                ck_acc = lax.dynamic_update_slice(
+                    ck_acc, prev[None], (ck_at, jnp.int32(0))
+                )
             # ship this block's right boundary one device over ICI
             bound_next = lax.ppermute(
                 rights, axis, [(i, (i + 1) % n) for i in range(n)]
             )
-            return (prev, end, bound_next, new_last)
+            return (prev, end, bound_next, new_last, lb_acc, ck_acc)
 
         # seed last_bound with H[0, x0] (1-based column x0 = this
         # device's left-neighbor column) — a border-ROW value, closed
@@ -225,15 +262,256 @@ def sharded_global_end_score(
         lb0 = jnp.where(
             x0 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x0 * DEL
         )
+        if with_trace:
+            lb_acc0 = jnp.zeros(R_pad + tr, jnp.int32)
+            ck_acc0 = jnp.zeros((n_ck + 1, Cb), jnp.int32)
+        else:
+            lb_acc0 = jnp.zeros((), jnp.int32)
+            ck_acc0 = jnp.zeros((), jnp.int32)
         init = (
             h0,
             jnp.int32(NEG),
             jnp.zeros(tr, jnp.int32),
             lb0,
+            lb_acc0,
+            ck_acc0,
         )
-        prev, end, _, _ = lax.fori_loop(0, J + n - 1, pipe_step, init)
+        prev, end, _, _, lb_acc, ck_acc = lax.fori_loop(
+            0, J + n - 1, pipe_step, init
+        )
         del prev
-        return jax.lax.psum(jnp.where(end == NEG, 0, end), axis)
+        end = jax.lax.psum(jnp.where(end == NEG, 0, end), axis)
+        if with_trace:
+            return end, lb_acc[None, :R_pad], ck_acc[:n_ck]
+        return end
 
-    out = run(jnp.asarray(qp), jnp.asarray(tp), mi)
+    return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"])
+
+
+def sharded_global_end_score(
+    mesh: Mesh,
+    q: np.ndarray,
+    t: np.ndarray,
+    matrix: np.ndarray,
+    del_: float,
+    ext: float,
+    *,
+    tr: int = 128,
+    axis: str | None = None,
+    engine: str | None = None,
+    interpret: bool | None = None,
+) -> float:
+    """Exact global end score H[tlen, qlen] of one pair, columns sharded
+    over the mesh axis.  Requires an integral matrix and penalties
+    (int32 arithmetic — bit-exact vs the oracle).
+
+    ``engine``: "pallas" runs each device's row-block through the
+    column-sharded wavefront kernel (ops/wavefront.run_block_cs — the
+    per-device speed path); "lax" uses the portable gather+cummax block
+    fill.  Default: pallas on TPU, lax elsewhere.
+    """
+    pp = _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine,
+                       interpret)
+    out = _pipeline(mesh, pp, tr, with_trace=False)
     return float(np.asarray(out))
+
+
+def _lax_tile_dirs(q_codes, mat, t_rows, h0, lb, x0, y_base,
+                   C_real, R_real, DEL, EXT, V):
+    """Direction tile (TB, Cb) of one replayed block, plain lax — the
+    replay engine matching the "lax" forward fill.  Bit-identical
+    recurrence; dirs by the exact tie policy (top > left > diagonal)."""
+    Cb = q_codes.shape[0]
+    xg = x0 + jnp.arange(Cb, dtype=jnp.int32)
+    xp = (xg + 1) * EXT
+
+    def row(carry, inputs):
+        prev = carry
+        ty, bl_prev, bl_cur, y = inputs
+        srow = mat[ty][jnp.clip(q_codes, 0, V - 1)]
+        srow = jnp.where(q_codes >= V, NEG, srow)
+        diag = jnp.concatenate([bl_prev[None], prev[:-1]]) + srow
+        m0 = jnp.maximum(diag, prev - EXT)
+        is11 = (y == 1) & (x0 == 0)
+        pen1 = jnp.where(is11, DEL, EXT)
+        a0 = jnp.where(is11, jnp.maximum(diag[0], prev[0] - DEL), m0[0])
+        a0 = jnp.maximum(a0, bl_cur - pen1)
+        a = m0.at[0].set(a0)
+        h = lax.cummax(a + xp) - xp
+        first = jnp.arange(Cb) == 0
+        pen_d = jnp.where(is11 & first, DEL, EXT)
+        top = prev - pen_d
+        leftv = jnp.concatenate([bl_cur[None], h[:-1]]) - pen_d
+        from ..ops.scan_engine import DIAG as _D, LEFT as _L, TOP as _T
+
+        dr = jnp.where(
+            h <= top,
+            jnp.uint8(_T),
+            jnp.where(h <= leftv, jnp.uint8(_L), jnp.uint8(_D)),
+        )
+        return h, dr
+
+    TB = t_rows.shape[0]
+    ys = y_base + 1 + jnp.arange(TB, dtype=jnp.int32)
+    bl_prev = lb[:-1]
+    bl_cur = lb[1:]
+    _, dirs = lax.scan(row, h0, (t_rows, bl_prev, bl_cur, ys))
+    return dirs
+
+
+_lax_tile_dirs_jit = jax.jit(
+    _lax_tile_dirs,
+    static_argnames=("C_real", "R_real", "V"),
+)
+
+
+def sharded_global_align(
+    mesh: Mesh,
+    q: np.ndarray,
+    t: np.ndarray,
+    matrix: np.ndarray,
+    del_: float,
+    ext: float,
+    *,
+    tr: int = 128,
+    tb_rows: int = 512,
+    axis: str | None = None,
+    engine: str | None = None,
+    interpret: bool | None = None,
+):
+    """Exact global ALIGNMENT of one huge pair, columns sharded over the
+    mesh axis — checkpoint-and-replay traceback on top of the pipeline.
+
+    Returns ``(end_score, qa, ta, coords)`` with the reference's
+    traceback semantics (seeded last characters, simple/mod.rs:99-127),
+    bit-equal to the oracle/single-chip paths.  ``tb_rows`` is the
+    checkpoint cadence (rounded to a multiple of ``tr``): forward extra
+    memory is O(R·n + R·C/tb_rows) ints; traceback replays one
+    (tb_rows × column-block) tile per block the path crosses (~2x fill
+    cost total, same as the single-chip chunked path).
+    """
+    from ..alphabet import BLANK
+    from ..ops.scan_engine import DIAG, LEFT, TOP
+
+    pp = _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine,
+                       interpret, tb_rows=tb_rows)
+    C_real, R_real = pp["C_real"], pp["R_real"]
+    if C_real == 0 or R_real == 0:
+        raise ValueError("empty sequence")
+    q_np, t_np = pp["q"], pp["t"]
+    Cb, n, engine = pp["Cb"], pp["n"], pp["engine"]
+    stride, n_ck = pp["stride"], pp["n_ck"]
+    TB = stride * tr
+
+    end_dev, lb_hist_dev, ckpts_dev = _pipeline(mesh, pp, tr, with_trace=True)
+    end = float(np.asarray(end_dev))
+    lb_hist = np.asarray(lb_hist_dev)  # (n, R_pad): H[y, x0_d], y = 1..R_pad
+    ckpts = np.asarray(ckpts_dev)  # (n_ck, C_pad): H[(k+1)*TB, 1..C_pad]
+
+    DEL_i, EXT_i = int(pp["DEL"]), int(pp["EXT"])
+    V = pp["V"]
+    tp = pp["tp"]
+
+    def border_row_vals(xg1):
+        # H[0, x] closed form with the far-corner overwrite
+        out = -xg1 * DEL_i
+        out[xg1 == C_real] = -(C_real + 1) * DEL_i
+        return out
+
+    if engine == "pallas":
+        from ..ops.wavefront import (
+            _unpack_dir_words, pack_query_words, run_block_cs,
+        )
+
+        S_loc = pp["S_loc"]
+        pmat = pp["mi"]
+        pw_cache: dict[int, jax.Array] = {}
+
+    def replay_tile(j: int, d: int) -> np.ndarray:
+        """uint8 dirs (TB, Cb) for rows j*TB+1..(j+1)*TB, device-d cols."""
+        x0 = d * Cb
+        xg1 = x0 + 1 + np.arange(Cb)
+        if j == 0:
+            h0 = border_row_vals(xg1.copy()).astype(np.int32)
+        else:
+            h0 = ckpts[j - 1, x0 : x0 + Cb].astype(np.int32)
+        lb = np.empty(TB + 1, np.int32)
+        if j == 0:
+            lb[0] = (
+                -(C_real + 1) * DEL_i if x0 == C_real else -x0 * DEL_i
+            )
+        else:
+            lb[0] = lb_hist[d, j * TB - 1]
+        lb[1:] = lb_hist[d, j * TB : (j + 1) * TB]
+        t_rows = tp[j * TB : (j + 1) * TB]
+        if engine == "pallas":
+            if d not in pw_cache:
+                q_tile = jnp.asarray(
+                    pp["qp"][x0 : x0 + Cb].reshape(S_loc, 128)
+                )
+                pw_cache[d] = pack_query_words(q_tile, pmat, V)
+            outs = run_block_cs(
+                pw_cache[d],
+                jnp.asarray(t_rows.reshape(1, TB)),
+                jnp.asarray(h0.reshape(S_loc, 128)),
+                jnp.asarray(lb.reshape(1, TB + 1)),
+                jnp.asarray(np.array([[x0, j * TB]], np.int32)),
+                S=S_loc, TR=TB, V=V, C_real=C_real, R_real=R_real,
+                del_=DEL_i, ext=EXT_i, interpret=pp["interpret"],
+                with_dirs=True,
+            )
+            return _unpack_dir_words(np.asarray(outs[3]), Cb)[:TB]
+        dirs = _lax_tile_dirs_jit(
+            jnp.asarray(pp["qp"][x0 : x0 + Cb]), pp["mi"],
+            jnp.asarray(t_rows), jnp.asarray(h0), jnp.asarray(lb),
+            jnp.int32(x0), jnp.int32(j * TB),
+            C_real=C_real, R_real=R_real,
+            DEL=jnp.int32(DEL_i), EXT=jnp.int32(EXT_i), V=V,
+        )
+        return np.asarray(dirs)
+
+    # --- backward walk (simple/mod.rs:99-127 semantics, tiled) ---
+    qa = [int(q_np[-1])]
+    ta = [int(t_np[-1])]
+    cy, cx = R_real, C_real
+    cur_tile = None
+    tile = None
+    while True:
+        if cy == 0:
+            while cx > 0:  # border row: LEFT to (0,0) (simple/mod.rs:61)
+                qa.append(int(q_np[cx - 1]))
+                ta.append(BLANK)
+                cx -= 1
+            break
+        if cx == 0:
+            while cy > 0:  # border col: TOP to (0,0) (simple/mod.rs:66)
+                qa.append(BLANK)
+                ta.append(int(t_np[cy - 1]))
+                cy -= 1
+            continue  # falls into the cy == 0 branch, which breaks
+        j, d = (cy - 1) // TB, (cx - 1) // Cb
+        if (j, d) != cur_tile:
+            tile = replay_tile(j, d)
+            cur_tile = (j, d)
+        dr = tile[cy - 1 - j * TB, cx - 1 - d * Cb]
+        if dr == TOP:
+            qa.append(BLANK)
+            ta.append(int(t_np[cy - 1]))
+            cy -= 1
+        elif dr == LEFT:
+            qa.append(int(q_np[cx - 1]))
+            ta.append(BLANK)
+            cx -= 1
+        else:  # DIAG (BEG cannot occur in global interiors)
+            qa.append(int(q_np[cx - 1]))
+            ta.append(int(t_np[cy - 1]))
+            cy -= 1
+            cx -= 1
+    qa.reverse()
+    ta.reverse()
+    return (
+        end,
+        np.array(qa, dtype=np.int16),
+        np.array(ta, dtype=np.int16),
+        ((1, C_real), (1, R_real)),
+    )

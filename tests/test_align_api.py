@@ -128,3 +128,71 @@ def test_class_wrappers_and_errors():
     pa = PWMAligner.from_str_seqs("ATCGATCG")
     with pytest.raises(at.MatrixShapeError):
         pa.perform_alignment(3.0, 1.0, np.zeros((5, 4)))
+
+
+# --- huge-pair dispatch (VERDICT r2 #3: wide/multi-device pairs route
+# to the cross-chip wavefront, never a materialized O(R*C) plane) ---
+
+
+def _capture_sharded(monkeypatch):
+    """Patch the sharded entry point to record its call and return a
+    recognizable dummy alignment."""
+    from aligner_tpu.parallel import wavefront_sp
+
+    calls = []
+
+    def fake(mesh, q, t, matrix, del_, ext, **kw):
+        calls.append((len(q), len(t)))
+        return 0.0, np.array([0], np.int16), np.array([0], np.int16), (
+            (1, len(q)), (1, len(t)))
+
+    monkeypatch.setattr(wavefront_sp, "sharded_global_align", fake)
+    return calls
+
+
+def test_wide_pair_routes_to_sharded(monkeypatch):
+    """A query wider than the single-chip wavefront cap dispatches to
+    the column-sharded pipeline — not a plane fill (which would OOM)."""
+    from aligner_tpu.ops.wavefront import MAX_WIDTH
+
+    calls = _capture_sharded(monkeypatch)
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 24, MAX_WIDTH + 64).astype(np.int8)
+    t = rng.integers(0, 24, 64).astype(np.int8)
+    align_global(q, t, at.blosum62(), 11.0, 2.0)
+    assert calls == [(MAX_WIDTH + 64, 64)]
+
+
+def test_huge_pair_multi_device_routes_to_sharded(monkeypatch):
+    """A chromosome-scale pair with several devices visible uses all of
+    them via the sharded pipeline (8 virtual CPU devices here)."""
+    calls = _capture_sharded(monkeypatch)
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 24, 10_000).astype(np.int8)
+    t = rng.integers(0, 24, 10_000).astype(np.int8)  # 1e8 cells > 2^26
+    align_global(q, t, at.blosum62(), 11.0, 2.0)
+    assert calls == [(10_000, 10_000)]
+
+
+def test_huge_pair_no_wavefront_raises(monkeypatch):
+    """Huge pairs that no exact wavefront engine can take (non-integral
+    penalties) fail with a clear error instead of allocating a plane."""
+    rng = np.random.default_rng(2)
+    q = rng.integers(0, 24, 10_000).astype(np.int8)
+    t = rng.integers(0, 24, 10_000).astype(np.int8)
+    with pytest.raises(at.ValidationError, match="plane"):
+        align_global(q, t, at.blosum62(), 11.5, 2.25)
+    # keep_planes at huge scale is an explicit OOM request — refused too
+    with pytest.raises(at.ValidationError, match="plane"):
+        align_global(q, t, at.blosum62(), 11.0, 2.0, keep_planes=True)
+
+
+def test_backend_wavefront_sp_end_to_end():
+    """Explicit backend="wavefront_sp" produces oracle-identical
+    alignments through the public API (small pair, real pipeline)."""
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 24, 200).astype(np.int8)
+    t = rng.integers(0, 24, 150).astype(np.int8)
+    a = align_global(q, t, at.blosum62(), 11.0, 2.0, backend="wavefront_sp")
+    b = align_global(q, t, at.blosum62(), 11.0, 2.0, backend="oracle")
+    _pairs_equal(a, b)

@@ -14,7 +14,10 @@ from jax.sharding import Mesh
 
 import aligner_tpu as at
 from aligner_tpu import host
-from aligner_tpu.parallel.wavefront_sp import sharded_global_end_score
+from aligner_tpu.parallel.wavefront_sp import (
+    sharded_global_align,
+    sharded_global_end_score,
+)
 
 
 @pytest.fixture(scope="module")
@@ -92,6 +95,97 @@ def test_pallas_engine_hardware_spot(rng):
     end = sharded_global_end_score(mesh1, q, t, M, 11.0, 2.0, tr=128,
                                    engine="pallas", interpret=False)
     assert end == ref.score[900, 700]
+
+
+@pytest.mark.parametrize("engine", ["lax", "pallas"])
+def test_sharded_align_matches_oracle(mesh, rng, engine):
+    """Exact ALIGNMENTS (VERDICT r2 #2): the checkpoint-and-replay
+    traceback over the 8-device pipeline is bit-equal to the oracle —
+    strings, coords, and end score — on tile-straddling shapes."""
+    M = np.asarray(at.blosum62())
+    # shapes chosen to straddle row-block (tb), column-block (Cb), and
+    # checkpoint boundaries, incl. a pair whose path crosses devices
+    for C, R in [(1000, 700), (333, 190), (129, 257), (64, 64)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 11.0, 2.0)
+        end, qa, ta, coords = sharded_global_align(
+            mesh, q, t, M, 11.0, 2.0, tr=32, tb_rows=64, engine=engine
+        )
+        assert end == ref.score[R, C]
+        np.testing.assert_array_equal(qa, ref.query_aligned)
+        np.testing.assert_array_equal(ta, ref.target_aligned)
+        assert coords == ((1, C), (1, R))
+
+
+def test_sharded_align_degenerate_shapes(mesh, rng):
+    """Narrower than the device count (fully idle devices) and
+    single-block pairs still produce exact alignments."""
+    M = np.asarray(at.blosum62())
+    for C, R in [(7, 500), (8, 8), (500, 30)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 7.0, 3.0)
+        end, qa, ta, _ = sharded_global_align(
+            mesh, q, t, M, 7.0, 3.0, tr=32, tb_rows=32
+        )
+        assert end == ref.score[R, C]
+        np.testing.assert_array_equal(qa, ref.query_aligned)
+        np.testing.assert_array_equal(ta, ref.target_aligned)
+
+
+def test_sharded_align_matches_single_chip_chunked(mesh, rng):
+    """Cross-path agreement: the sharded traceback and the single-chip
+    chunked traceback give identical strings."""
+    from aligner_tpu.ops.wavefront import align_single_global_chunked
+
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 300).astype(np.int8)
+    t = rng.integers(0, 24, 450).astype(np.int8)
+    e1, qa1, ta1, c1 = sharded_global_align(mesh, q, t, M, 11.0, 2.0,
+                                            tr=64, tb_rows=128)
+    e2, qa2, ta2, c2 = align_single_global_chunked(
+        q, t, M, 11.0, 2.0, tb_rows=128, tr=16, interpret=True
+    )
+    assert e1 == e2 and c1 == c2
+    np.testing.assert_array_equal(qa1, qa2)
+    np.testing.assert_array_equal(ta1, ta2)
+
+
+def test_range_guard_rejects_overflow(mesh):
+    """int32-exactness guard (ADVICE r2): absurdly long pairs whose
+    scores could wrap are refused, not silently corrupted."""
+    from aligner_tpu.ops.wavefront import range_ok, supported
+
+    M = np.asarray(at.blosum62())
+    assert range_ok(1000, 1000, 11.0, 2.0)
+    assert not range_ok(1000, 2**30 // 11, 11.0, 2.0)
+    assert supported(1000, M, 11.0, 2.0, tlen=1000)
+    assert not supported(1000, M, 11.0, 2.0, tlen=2**30 // 11)
+    q = np.zeros(8, np.int8)
+    # zero-copy huge target: the guard reads only len(t), and raises
+    # before any per-element work touches the array
+    t_huge = np.broadcast_to(np.int8(0), (2**30 // 11,))
+    with pytest.raises(ValueError, match="int32"):
+        sharded_global_align(mesh, q, t_huge, M, 11.0, 2.0)
+
+
+@pytest.mark.tpu
+def test_sharded_align_hardware_spot(rng):
+    """Mosaic lowering of the dirs-emitting block kernel on real
+    hardware (1-device mesh — kernel identical to the n-device case)."""
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 700).astype(np.int8)
+    t = rng.integers(0, 24, 900).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end, qa, ta, _ = sharded_global_align(
+        mesh1, q, t, M, 11.0, 2.0, tr=128, tb_rows=256,
+        engine="pallas", interpret=False,
+    )
+    assert end == ref.score[900, 700]
+    np.testing.assert_array_equal(qa, ref.query_aligned)
+    np.testing.assert_array_equal(ta, ref.target_aligned)
 
 
 def test_pallas_engine_wide_entry_matrix_falls_back(mesh, rng):
