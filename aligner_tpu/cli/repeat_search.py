@@ -85,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.input is None:
         result = run_testing_cmd(opts, rng)
     elif args.csv is not None:
-        result = run_csv_cmd(opts, args.input, args.csv, rng)
+        result = run_csv_cmd(opts, args.input, args.csv, rng,
+                             checkpoint=args.checkpoint)
     else:
         result = run_exploring_cmd(opts, args.input, rng,
                                    checkpoint=args.checkpoint)

@@ -497,10 +497,12 @@ def run_exploring_cmd(
 
 
 def run_csv_cmd(
-    opts: SearchOptions, fasta_path, csv_path, rng: np.random.Generator
+    opts: SearchOptions, fasta_path, csv_path, rng: np.random.Generator,
+    checkpoint: str | None = None,
 ) -> dict[str, TaskResult]:
     """Exploring mode with known repeats masked out (cmd/csv.rs +
-    sequences.rs:33-43)."""
+    sequences.rs:33-43).  ``checkpoint`` resumes per record exactly like
+    exploring mode — csv runs the same chromosome-scale scans."""
     from ..io import read_fasta_file, read_records
     from ..io.fasta import mask_intervals
 
@@ -512,7 +514,12 @@ def run_csv_cmd(
             seq = mask_intervals(
                 seq, [(r.left_coord, r.right_coord) for r in data[rec.head]]
             )
-        per_seq = perform_calculation_per_sequence(opts, seq, rec.head, rng)
+        per_ckpt = (
+            _record_checkpoint_path(checkpoint, rec.head) if checkpoint else None
+        )
+        per_seq = perform_calculation_per_sequence(
+            opts, seq, rec.head, rng, checkpoint=per_ckpt
+        )
         if "direct" in per_seq:
             result[rec.head] = per_seq["direct"]
         if "inverse" in per_seq:

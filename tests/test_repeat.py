@@ -283,3 +283,41 @@ def test_filter_tasks_tie_break_last_max():
     tasks = [mk(0, 10, 1.0), mk(50, 150, 2.0), mk(60, 160, 2.0)]
     out = filter_tasks(tasks)
     assert [t.left_coord for t in out] == [0, 60]
+
+
+def test_csv_mode_checkpoint_resume(tmp_path, rng):
+    """csv (masked) mode resumes per record exactly like exploring mode
+    (VERDICT r2 weak #7: cmd/csv.rs runs the same per-sequence engine)."""
+    from aligner_tpu.repeat.engine import (
+        _load_checkpoint,
+        _record_checkpoint_path,
+        run_csv_cmd,
+    )
+
+    def rand_dna(n, r):
+        return "".join("ATCG"[c] for c in r.integers(0, 4, n))
+
+    fa = tmp_path / "one.fasta"
+    fa.write_text(f">recC\n{rand_dna(400, rng)}\n")
+    csv = tmp_path / "known.csv"
+    csv.write_text(
+        "name,z_value,left_coord,right_coord\nrecC,3.0,10,40\n"
+    )
+    base = str(tmp_path / "state.json")
+    opts = SearchOptions(
+        repeat_length=24, query_offset=10, deletions=6.0, extension=2.0,
+        repeats=2, backend="xla",
+    )
+    res1 = run_csv_cmd(opts, fa, csv, np.random.default_rng(5),
+                       checkpoint=base)
+    pc = _record_checkpoint_path(base, "recC")
+    assert os.path.exists(pc)
+    assert isinstance(_load_checkpoint(pc, "recC"), dict)  # completed
+    # rerun with a different rng: the completed checkpoint replays, so
+    # results are identical (nothing recomputed)
+    res2 = run_csv_cmd(opts, fa, csv, np.random.default_rng(999),
+                       checkpoint=base)
+    for key in res1:
+        assert [(t.left_coord, t.z) for t in res2[key].tasks] == [
+            (t.left_coord, t.z) for t in res1[key].tasks
+        ]
