@@ -107,11 +107,11 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
         (matrix,) = _pad_batch_rows([matrix], B, Bp)
     R_orig = t.shape[1]
 
-    packed = False
+    packed, lut_bits, lut_bias = False, 8, 0
     if backend == "pallas" and not batched_mat:
-        packed = bool(
-            np.all(matrix == np.round(matrix)) and np.abs(matrix).max() <= 127
-        )
+        from .ops.pallas_dp import lut_params
+
+        packed, lut_bits, lut_bias = lut_params(matrix)
     mat_arg = jnp.asarray(
         np.round(matrix).astype(np.int32) if packed else matrix,
         jnp.int32 if packed else dtype,
@@ -127,10 +127,12 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
                 return fill_full_traced(
                     qs, qls, ts, tls, mat, del_, ext,
                     mode=mode, dtype=dtype, packed_lut=packed,
+                    lut_bits=lut_bits, lut_bias=lut_bias,
                 )
             return fill_scores_traced(
                 qs, qls, ts, tls, mat, del_, ext,
                 mode=mode, dtype=dtype, packed_lut=packed,
+                lut_bits=lut_bits, lut_bias=lut_bias,
                 track_argmax=track_argmax,
             )
         r = fill_batch(

@@ -15,11 +15,14 @@ Design (see ops/scan_engine.py for why the batch is the parallel axis):
   pallas output pipeline (one block per column).
 * Score lookup: a per-column LUT over the V symbols is built once per
   grid step (one-hot over the column's query code; for integral shared
-  matrices the LUT rows come pre-packed as 4 biased bytes per int32
-  word), then each row's score is selected by the target code's bits
-  through a balanced where-tree (``_bit_select``, ceil(log2(n)) select
-  levels + a variable-shift byte extract on the packed path) — ~10 int
-  ops/cell, the cheapest known formulation without per-lane gathers.
+  matrices the LUT rows come pre-packed as 4 biased bytes — or, when the
+  entry range spans <= 16 values as BLOSUM62's -4..11 does, 8 biased
+  nibbles — per int32 word, see :func:`lut_params`), then each row's
+  score is selected by the target code's bits through a balanced
+  where-tree (``_bit_select``, ceil(log2(n)) select levels + a
+  variable-shift extract on the packed path) — ~9-11 int ops/cell, the
+  cheapest measured formulation without per-lane gathers
+  (docs/PERF_NOTES.md records the tried-and-slower variants).
 * The row loop is unrolled 8× (the per-cell max→penalty dependent chain
   is latency-bound otherwise); wrappers pad R to a multiple of 8.
 * ``scores_only`` mode tracks the running first-in-row-major argmax
@@ -33,9 +36,9 @@ Design (see ops/scan_engine.py for why the batch is the parallel axis):
 
 Semantics are bit-identical to the scalar oracle (tests fuzz every mode in
 interpret mode and on hardware); f32 is exact for integer-valued matrices.
-Measured: ~187 GCUPS protein / ~318 GCUPS DNA on one v5e chip
-(marginal per-launch rate; docs/PERF_NOTES.md for methodology — the
-round-1 numbers were CSE-inflated and are corrected there).
+Measured: ~204 GCUPS protein (4-bit nibble LUT) / ~318 GCUPS DNA on one
+v5e chip (marginal per-launch rate; docs/PERF_NOTES.md for methodology —
+the round-1 numbers were CSE-inflated and are corrected there).
 """
 
 from __future__ import annotations
@@ -92,6 +95,8 @@ def _kernel(
     mode: str,
     batched_mat: bool,
     packed_lut: bool,
+    lut_bits: int,
+    lut_bias: int,
     dense: bool,
     track_argmax: bool,
     with_planes: bool,
@@ -122,7 +127,13 @@ def _kernel(
     is_global = mode == "global"
     DEL = jnp.asarray(del_, dtype)
     EXT = jnp.asarray(ext, dtype)
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    # eps drives the tie test m - top < eps with m >= top always; the
+    # int32-DP analog of "tiny positive" is 1 (m - top < 1 ⟺ m == top)
+    eps = (
+        jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        if jnp.issubdtype(dtype, jnp.floating)
+        else jnp.asarray(1, dtype)
+    )
     zero = jnp.zeros((BS, LANES), dtype)
 
     tlen = tlen_ref[0]  # (BS, 128) i32
@@ -165,14 +176,17 @@ def _kernel(
     # no scol scratch at all).  The per-column LUT values below are
     # (BS, 128) (or scalars for shared PWMs) and stay live across rows.
     if packed_lut:
-        # Integral shared matrix (|entries| <= 127): mat_ref holds the
-        # column-packed words (n_words, V) int32 — word g of matrix
-        # column j is the 4 biased bytes mat[4g..4g+3, j] — precomputed
-        # once in _run.  Per cell: word select by t's bits >= 2, then a
-        # variable-shift byte extract.
+        # Integral shared matrix: mat_ref holds the column-packed words
+        # (n_words, V) int32, precomputed once in _run.  ``lut_bits=8``
+        # (|entries| <= 127): word g of matrix column j is the 4 biased
+        # bytes mat[4g..4g+3, j].  ``lut_bits=4`` (entry range <= 15,
+        # e.g. BLOSUM62's exact -4..11): 8 nibbles mat[8g..8g+7, j]-bias
+        # per word — V=24 needs 3 words instead of 6, so the per-cell
+        # select tree shrinks from 3 tests + 5 selects to 2 + 2.
         qx = q_ref[0]  # (BS, 128) i32
         ohs_i = [(qx == j).astype(jnp.int32) for j in range(V)]
-        n_words = _cdiv(V, 4)
+        per_word = 8 if lut_bits == 4 else 4
+        n_words = _cdiv(V, per_word)
         packed = [
             functools.reduce(
                 lambda a, b: a + b,
@@ -181,10 +195,18 @@ def _kernel(
             for g in range(n_words)
         ]
 
-        def score_at(t_row):
-            w = _bit_select(packed, t_row, start_bit=4)
-            sh = (t_row & 3) << 3
-            return (((w >> sh) & 255) - 128).astype(dtype)
+        if lut_bits == 4:
+            def score_at(y):
+                t_row = t_ref[y]
+                w = _bit_select(packed, t_row, start_bit=8)
+                sh = (t_row & 7) << 2
+                return (((w >> sh) & 15) + lut_bias).astype(dtype)
+        else:
+            def score_at(y):
+                t_row = t_ref[y]
+                w = _bit_select(packed, t_row, start_bit=4)
+                sh = (t_row & 3) << 3
+                return (((w >> sh) & 255) - 128).astype(dtype)
     else:
         if mode == "pwm":
             if batched_mat:
@@ -211,9 +233,9 @@ def _kernel(
                     for v in range(V)
                 ]
 
-        def score_at(t_row):
+        def score_at(y):
             return jnp.asarray(
-                _bit_select(luts, t_row, start_bit=1), dtype
+                _bit_select(luts, t_ref[y], start_bit=1), dtype
             )
 
     # the column buffer is updated in place: each cell reads the previous
@@ -230,12 +252,12 @@ def _kernel(
     def body(y1, carry):
         a_up, pen, diag_prev, bv, by, bx, ev = carry
         left_v = colbuf_ref[y1]
-        s = score_at(t_ref[y1 - 1])
-        top = a_up - pen
-        left = left_v - pen
+        s = score_at(y1 - 1)
         diag = diag_prev + s
-        m = jnp.maximum(jnp.maximum(top, left), diag)
         if with_planes:
+            top = a_up - pen
+            left = left_v - pen
+            m = jnp.maximum(jnp.maximum(top, left), diag)
             d = jnp.where(
                 m - top < eps,
                 jnp.int32(TOP),
@@ -244,6 +266,9 @@ def _kernel(
             if not is_global:
                 d = jnp.where(m == 0, jnp.int32(BEG), d)
         else:
+            # max(a-p, b-p) == max(a,b)-p exactly (float sub is monotone
+            # and ties give the same value) — one sub saved per cell
+            m = jnp.maximum(jnp.maximum(a_up, left_v) - pen, diag)
             d = None  # scores-only: the direction is consumed solely via
             # the penalty update, and dir == Beginning ⟺ m == 0 (local)
             # / never (global) — enums.rs:30-46
@@ -311,6 +336,23 @@ def _kernel(
     end_ref[0] = ev
 
 
+def lut_params(matrix) -> tuple[bool, int, int]:
+    """(packed_lut, lut_bits, lut_bias) for a concrete (numpy) shared
+    matrix.  4-bit packing applies when the integral entry range spans
+    at most 16 values (BLOSUM62 is exactly -4..11) — half the packed
+    words, so the per-cell select tree loses a level and three selects."""
+    m = np.asarray(matrix)
+    if m.ndim != 2 or not (
+        np.all(m == np.round(m)) and np.abs(m).max(initial=0) <= 127
+    ):
+        return False, 8, 0
+    mi = np.round(m).astype(np.int64)
+    lo, hi = int(mi.min()), int(mi.max())
+    if hi - lo <= 15:
+        return True, 4, lo
+    return True, 8, 0
+
+
 def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool,
              scores_plane: bool = True) -> int:
     """Largest BS (sublane groups per tile) whose VMEM footprint fits."""
@@ -350,7 +392,8 @@ def _seq_operand(a4):
     jax.jit,
     static_argnames=(
         "mode", "with_planes", "dtype", "interpret", "del_", "ext",
-        "packed_lut", "dense", "track_argmax", "with_scores_plane",
+        "packed_lut", "lut_bits", "lut_bias", "dense",
+        "track_argmax", "with_scores_plane",
     ),
 )
 def _run(
@@ -367,6 +410,8 @@ def _run(
     dtype,
     interpret: bool,
     packed_lut: bool = False,
+    lut_bits: int = 8,
+    lut_bias: int = 0,
     dense: bool = False,
     track_argmax: bool = True,
     with_scores_plane: bool = False,
@@ -383,16 +428,27 @@ def _run(
         C = q4.shape[0] // NB
     if packed_lut:
         # pre-pack the (V, V) int32 matrix by columns: word g of column
-        # j holds the biased bytes mat[4g..4g+3, j] (int32 shifts wrap,
-        # matching the kernel's arithmetic-shift + mask extraction)
+        # j holds the biased bytes mat[4g..4g+3, j] (8-bit path), or the
+        # 8 biased nibbles mat[8g..8g+7, j] - lut_bias (4-bit path, for
+        # matrices whose entry range fits 16 values).  int32 shifts
+        # wrap, matching the kernel's arithmetic-shift + mask extraction.
         rows = []
-        for g in range(_cdiv(V, 4)):
-            w = jnp.zeros((mat.shape[1],), jnp.int32)
-            for k in range(4):
-                v = 4 * g + k
-                if v < V:
-                    w = w + ((mat[v] + 128) << (8 * k))
-            rows.append(w)
+        if lut_bits == 4:
+            for g in range(_cdiv(V, 8)):
+                w = jnp.zeros((mat.shape[1],), jnp.int32)
+                for k in range(8):
+                    v = 8 * g + k
+                    if v < V:
+                        w = w + ((mat[v] - lut_bias) << (4 * k))
+                rows.append(w)
+        else:
+            for g in range(_cdiv(V, 4)):
+                w = jnp.zeros((mat.shape[1],), jnp.int32)
+                for k in range(4):
+                    v = 4 * g + k
+                    if v < V:
+                        w = w + ((mat[v] + 128) << (8 * k))
+                rows.append(w)
         mat = jnp.stack(rows)  # (n_words, V)
 
     grid = (NB, C)
@@ -462,7 +518,8 @@ def _run(
     kernel = functools.partial(
         _wrapped_kernel,
         C=C, R=R, V=V, BS=BS, mode=mode, batched_mat=batched_mat,
-        packed_lut=packed_lut, dense=dense, track_argmax=track_argmax,
+        packed_lut=packed_lut, lut_bits=lut_bits, lut_bias=lut_bias,
+        dense=dense, track_argmax=track_argmax,
         with_planes=with_planes, with_scores_plane=with_scores_plane,
         del_=float(del_), ext=float(ext), dtype=dtype,
     )
@@ -605,6 +662,10 @@ def fill_batch_pallas(
         R = t.shape[1]
     batched_mat = matrix.ndim == 3
     V = matrix.shape[-1]
+    packed_lut, lut_bits, lut_bias = False, 8, 0
+    if not batched_mat:
+        # integral entries within int8 range → packed-LUT fast path
+        packed_lut, lut_bits, lut_bias = lut_params(matrix)
     BS = min(
         _pick_bs(R, C, V, with_planes, batched_mat, scores_plane),
         max(1, _cdiv(B, LANES)),
@@ -616,15 +677,10 @@ def fill_batch_pallas(
     # length 0 for padding problems → fully inactive
     qlen4 = jnp.asarray(_to_tiles(qlen, NB, BS, ()))
     tlen4 = jnp.asarray(_to_tiles(tlen, NB, BS, ()))
-    packed_lut = False
     if batched_mat:
         m4 = _seq_operand(_to_tiles(matrix.reshape(B, V * V), NB, BS, (V * V,)))
         m4 = m4.astype(dtype)
     else:
-        # integral entries within int8 range → packed-LUT fast path
-        packed_lut = bool(
-            np.all(matrix == np.round(matrix)) and np.abs(matrix).max() <= 127
-        )
         m4 = jnp.asarray(
             np.round(matrix).astype(np.int32) if packed_lut else matrix,
             jnp.int32 if packed_lut else dtype,
@@ -640,7 +696,8 @@ def fill_batch_pallas(
     outs = _run(
         q4, t4, qlen4, tlen4, m4, float(del_), float(ext),
         mode=mode, with_planes=with_planes, dtype=dtype, interpret=interpret,
-        packed_lut=packed_lut, dense=dense, track_argmax=track_argmax,
+        packed_lut=packed_lut, lut_bits=lut_bits, lut_bias=lut_bias,
+        dense=dense, track_argmax=track_argmax,
         with_scores_plane=scores_plane and with_planes,
     )
     fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
@@ -742,6 +799,8 @@ def fill_scores_traced(
     mode: str = "local",
     dtype=jnp.float32,
     packed_lut: bool = False,
+    lut_bits: int = 8,
+    lut_bias: int = 0,
     bs: int | None = None,
     interpret: bool | None = None,
     track_argmax: bool = True,
@@ -749,10 +808,11 @@ def fill_scores_traced(
     """Scores-only pallas fill, fully traceable (no host numpy) — for use
     inside jit/shard_map, one kernel per device shard.
 
-    ``packed_lut`` must be decided by the caller (the matrix is traced
-    here, so its values cannot be inspected); pass an int32 matrix with
-    it.  ``matrix`` may be (V, V) shared or (B, V, V) per-problem.
-    Returns (fmax, fy, fx, end) each of shape (B,).
+    ``packed_lut`` (and the 4-bit ``lut_bits``/``lut_bias`` variant, see
+    :func:`lut_params`) must be decided by the caller from the concrete
+    matrix (it is traced here, so its values cannot be inspected); pass
+    an int32 matrix with it.  ``matrix`` may be (V, V) shared or
+    (B, V, V) per-problem.  Returns (fmax, fy, fx, end) of shape (B,).
     """
     q = jnp.asarray(q, jnp.int32)
     t = jnp.asarray(t, jnp.int32)
@@ -780,7 +840,8 @@ def fill_scores_traced(
     outs = _run(
         q4, t4, ql4, tl4, matrix, float(del_), float(ext),
         mode=mode, with_planes=False, dtype=dtype, interpret=interpret,
-        packed_lut=packed_lut, track_argmax=track_argmax,
+        packed_lut=packed_lut, lut_bits=lut_bits, lut_bias=lut_bias,
+        track_argmax=track_argmax,
     )
     return tuple(o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
 
@@ -797,6 +858,8 @@ def fill_full_traced(
     mode: str = "local",
     dtype=jnp.float32,
     packed_lut: bool = False,
+    lut_bits: int = 8,
+    lut_bias: int = 0,
     bs: int | None = None,
     interpret: bool | None = None,
 ):
@@ -833,7 +896,8 @@ def fill_full_traced(
     outs = _run(
         q4, t4, ql4, tl4, matrix, float(del_), float(ext),
         mode=mode, with_planes=True, dtype=dtype, interpret=interpret,
-        packed_lut=packed_lut, with_scores_plane=False,
+        packed_lut=packed_lut, lut_bits=lut_bits, lut_bias=lut_bias,
+        with_scores_plane=False,
     )
     fmax, fy, fx, end = (o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
     words = _transpose_words_pm(outs[4], NB, BS, C, R)[:B]

@@ -29,11 +29,6 @@ from ..backend import on_tpu
 from ..ops.scan_engine import fill_batch, fill_pwm_batch
 
 
-def _integral(matrix) -> bool:
-    m = np.asarray(matrix)
-    return bool(np.all(m == np.round(m)) and np.abs(m).max() <= 127)
-
-
 def _resolve_engine(engine: str | None) -> str:
     if engine in (None, "auto"):
         return "pallas" if on_tpu() else "xla"
@@ -83,7 +78,11 @@ def sharded_scores(
     """
     data_ax = mesh.axis_names[0]
     engine = _resolve_engine(engine)
-    packed = engine == "pallas" and _integral(matrix)
+    packed, lut_bits, lut_bias = False, 8, 0
+    if engine == "pallas":
+        from ..ops.pallas_dp import lut_params
+
+        packed, lut_bits, lut_bias = lut_params(matrix)
     matrix = jnp.asarray(
         np.round(np.asarray(matrix)).astype(np.int32) if packed else matrix,
         jnp.int32 if packed else dtype,
@@ -103,6 +102,7 @@ def sharded_scores(
             return fill_scores_traced(
                 qs, qls, ts, tls, mat, del_, ext,
                 mode=mode, dtype=dtype, packed_lut=packed,
+                lut_bits=lut_bits, lut_bias=lut_bias,
             )
         r = fill_batch(
             qs, qls, ts, tls, mat, del_, ext,

@@ -115,8 +115,9 @@ def tpu_gcups() -> tuple[float, str]:
         t4 = jax.device_put(P._seq_operand(P._to_tiles(t, NB, BS, (L,))))
         ql4 = jax.device_put(jnp.asarray(P._to_tiles(ql, NB, BS, ())))
         tl4 = jax.device_put(jnp.asarray(P._to_tiles(tl, NB, BS, ())))
-        # BLOSUM62 is integral → the packed-LUT fast path (what
-        # fill_batch_pallas auto-selects for it)
+        # BLOSUM62 is integral with range -4..11 → the 4-bit packed-LUT
+        # fast path (what fill_batch_pallas auto-selects for it)
+        _, lut_bits, lut_bias = P.lut_params(M)
         m4 = jax.device_put(jnp.asarray(np.round(M).astype(np.int32)))
 
         @jax.jit
@@ -135,7 +136,8 @@ def tpu_gcups() -> tuple[float, str]:
                 out = P._run(
                     q4, (t4 + dep) % 24, ql4, tl4, m4, 11.0, 2.0, mode="local",
                     with_planes=False, dtype=jnp.float32, interpret=False,
-                    packed_lut=True, dense=True, track_argmax=False,
+                    packed_lut=True, lut_bits=lut_bits, lut_bias=lut_bias,
+                    dense=True, track_argmax=False,
                 )
                 acc = acc + out[0][0, 0, 0]
             return acc

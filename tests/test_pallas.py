@@ -129,3 +129,35 @@ def test_pallas_tpu_pwm_and_batched_matrices(rng):
                         with_planes=False, dtype=jnp.float32)
     assert np.array_equal(np.asarray(rp.fmax), np.asarray(rx.fmax))
     assert np.array_equal(np.asarray(rp.fy), np.asarray(rx.fy))
+
+
+def test_lut_params_selection():
+    """4-bit packing engages exactly when the integral entry range fits
+    16 values (BLOSUM62 is -4..11); wider ranges use 8-bit bytes."""
+    from aligner_tpu.ops.pallas_dp import lut_params
+
+    packed, bits, bias = lut_params(blosum62())
+    assert (packed, bits, bias) == (True, 4, -4)
+    wide = np.zeros((24, 24)); wide[0, 0] = 20; wide[1, 1] = -20
+    assert lut_params(wide) == (True, 8, 0)
+    assert lut_params(np.full((24, 24), 0.5))[0] is False
+    big = np.zeros((24, 24)); big[0, 0] = 200
+    assert lut_params(big)[0] is False
+
+
+def test_packed_lut_4bit_matches_8bit(rng):
+    """The 4-bit nibble-packed score path is bit-identical to the 8-bit
+    byte-packed path (and hence the oracle) on the same inputs."""
+    from aligner_tpu.ops.pallas_dp import fill_scores_traced
+
+    M = np.asarray(blosum62())
+    q, ql, t, tl = _random_batch(rng, 4, 16, 24)
+    outs = {}
+    for bits, bias in ((8, 0), (4, -4)):
+        outs[bits] = fill_scores_traced(
+            q, ql, t, tl, jnp.asarray(np.round(M).astype(np.int32)),
+            11.0, 2.0, mode="local", dtype=DT,
+            packed_lut=True, lut_bits=bits, lut_bias=bias,
+        )
+    for a, b in zip(outs[8], outs[4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
