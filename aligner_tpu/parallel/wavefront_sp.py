@@ -122,15 +122,27 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
 
 
 def _pipeline(mesh, pp, tr, with_trace: bool):
-    """Build + run the jitted shard_map pipeline.  Returns ``end`` or
-    ``(end, lb_hist (n, R_pad), ckpts (n_ck, C_pad))``."""
-    axis, n, engine = pp["axis"], pp["n"], pp["engine"]
-    interpret = pp["interpret"]
-    V, C_real, R_real = pp["V"], pp["C_real"], pp["R_real"]
-    Cb, S_loc = pp["Cb"], pp["S_loc"]
-    J, R_pad = pp["J"], pp["R_pad"]
-    DEL, EXT = pp["DEL"], pp["EXT"]
-    stride, n_ck = pp["stride"], pp["n_ck"]
+    """Build (cached) + run the jitted shard_map pipeline.  Returns
+    ``end`` or ``(end, lb_hist (n, R_pad), ckpts (n_ck, C_pad))``."""
+    run = _build_pipeline(
+        mesh, pp["axis"], pp["n"], pp["engine"], pp["interpret"],
+        pp["V"], pp["C_real"], pp["R_real"], pp["Cb"], pp["S_loc"],
+        pp["J"], pp["R_pad"], int(pp["DEL"]), int(pp["EXT"]),
+        pp["stride"], pp["n_ck"], tr, with_trace,
+    )
+    return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"])
+
+
+@functools.lru_cache(maxsize=64)
+def _build_pipeline(mesh, axis, n, engine, interpret, V, C_real, R_real,
+                    Cb, S_loc, J, R_pad, del_i, ext_i, stride, n_ck, tr,
+                    with_trace):
+    """The jitted shard_map program, cached on its static parameters —
+    rebuilding the jit wrapper per call would retrace the whole J-step
+    pipeline every time (~0.4 s constant overhead per invocation
+    measured on the 64k case, vs ~0 warm when cached)."""
+    DEL = np.int32(del_i)
+    EXT = np.int32(ext_i)
 
     in_specs = (P(axis), P(), P())
     if with_trace:
@@ -285,7 +297,7 @@ def _pipeline(mesh, pp, tr, with_trace: bool):
             return end, lb_acc[None, :R_pad], ck_acc[:n_ck]
         return end
 
-    return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"])
+    return run
 
 
 def sharded_global_end_score(
