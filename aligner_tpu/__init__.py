@@ -40,6 +40,7 @@ from .align import (
     align_pwm,
     batch_align,
     batch_align_pwm,
+    global_end_score,
 )
 from .heuristic import (
     Heuristics,
@@ -70,6 +71,7 @@ __all__ = [
     "align_pwm",
     "batch_align",
     "batch_align_pwm",
+    "global_end_score",
     "Heuristics",
     "HeuristicAligner",
     "HeuristicPWMAligner",

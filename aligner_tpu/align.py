@@ -482,6 +482,88 @@ def align_global(
     )
 
 
+def global_end_score(
+    query,
+    target,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+) -> float:
+    """Exact global end score ``H[tlen, qlen]`` of ONE pair — no plane,
+    no traceback (a TPU-side extension; the reference always builds the
+    full alignment, simple/mod.rs:42-98, but serving end scores is the
+    cheap half of that DP and huge pairs deserve the scan-free engine).
+
+    Dispatch mirrors :func:`align_global`: small pairs use the native
+    host fill; integral-score pairs on TPU (or beyond the direct-plane
+    budget) use the band-diagonal kernel
+    (:func:`aligner_tpu.ops.wavefront.end_score_single_global_diag`,
+    +48% over the row-scan engine); pairs wider than the single-chip
+    cap — or any huge pair when several devices are visible — use the
+    cross-chip column-sharded pipeline.  Force with ``backend`` in
+    ``{"diag", "wavefront_sp"}``.
+    """
+    q = _encode(query, alphabet)
+    t = _encode(target, alphabet)
+    if len(q) == 0 or len(t) == 0:
+        raise ResultIsEmpty("empty sequence")
+    from .backend import SMALL_PROBLEM_CELLS_NATIVE, on_tpu
+    from .ops import wavefront as _wf
+
+    matrix_np = np.asarray(matrix)
+    cells = len(q) * len(t)
+    integral = bool(
+        np.all(matrix_np == np.round(matrix_np))
+        and float(del_) == int(del_)
+        and float(ext) == int(ext)
+    )
+    huge = cells > _wf.DIRECT_PLANE_CELLS
+    auto = backend in (None, "auto")
+    if backend == "wavefront_sp" or (
+        auto
+        and integral
+        and _wf.range_ok(len(q), len(t), del_, ext)
+        and (
+            len(q) > _wf.MAX_WIDTH
+            or (huge and _auto_shard_devices() > 1)
+        )
+    ):
+        import jax
+        from jax.sharding import Mesh
+
+        from .parallel.wavefront_sp import sharded_global_end_score
+
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        return float(
+            sharded_global_end_score(mesh, q, t, matrix_np, del_, ext)
+        )
+    if backend == "diag" or (
+        auto
+        and _wf.supported(len(q), matrix_np, del_, ext, tlen=len(t))
+        and (on_tpu() or huge)
+        and cells > SMALL_PROBLEM_CELLS_NATIVE
+    ):
+        if not _wf.supported(len(q), matrix_np, del_, ext, tlen=len(t)):
+            raise ValidationError(
+                "diag backend requires an integral matrix/penalties, "
+                "qlen within the width cap, and int32-range scores"
+            )
+        return float(
+            _wf.end_score_single_global_diag(q, t, matrix_np, del_, ext)
+        )
+    if huge and auto:
+        raise ValidationError(
+            f"global pair of {len(t)}x{len(q)} = {cells} cells needs an "
+            "integral matrix/penalties in int32 range (the wavefront "
+            "engines) — every remaining engine materializes O(R*C)"
+        )
+    r = host.align_global(q, t, matrix_np, del_, ext)
+    return float(r.score[len(t), len(q)])
+
+
 def align_local(
     query,
     target,
