@@ -334,6 +334,47 @@ def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
     return res
 
 
+def _integral_params(matrix_np, del_, ext) -> bool:
+    return bool(
+        np.all(matrix_np == np.round(matrix_np))
+        and float(del_) == int(del_)
+        and float(ext) == int(ext)
+    )
+
+
+def _route_sharded_pair(qlen, tlen, matrix_np, del_, ext, *,
+                        backend, auto, huge, keep_planes):
+    """Shared huge-pair dispatch: should this single-pair request run on
+    the cross-chip column-sharded pipeline?  Raises ValidationError for
+    an explicit ``backend="wavefront_sp"`` the pipeline cannot honor
+    (the auto path simply declines).  One definition so align_global and
+    global_end_score cannot drift (they route identically)."""
+    from .ops import wavefront as _wf
+
+    integral = _integral_params(matrix_np, del_, ext)
+    if backend == "wavefront_sp":
+        if keep_planes:
+            raise ValidationError(
+                "wavefront_sp cannot materialize planes (keep_planes)"
+            )
+        if not integral or not _wf.range_ok(qlen, tlen, del_, ext):
+            raise ValidationError(
+                "wavefront_sp requires an integral matrix/penalties "
+                "with scores in the int32-exact range"
+            )
+        return True
+    return (
+        auto
+        and integral
+        and not keep_planes
+        and _wf.range_ok(qlen, tlen, del_, ext)
+        and (
+            qlen > _wf.MAX_WIDTH
+            or (huge and _auto_shard_devices() > 1)
+        )
+    )
+
+
 @dataclasses.dataclass
 class BatchScores:
     """Scores-only batched result (no planes, no traceback).
@@ -377,29 +418,16 @@ def align_global(
     from .ops import wavefront as _wf
 
     matrix_np = np.asarray(matrix)
-    integral = bool(
-        np.all(matrix_np == np.round(matrix_np))
-        and float(del_) == int(del_)
-        and float(ext) == int(ext)
-    )
     huge = cells > _wf.DIRECT_PLANE_CELLS
     auto = backend in (None, "auto")
     # --- dispatch (VERDICT r2 #3): single-chip wavefront for pairs
     # within its width cap; the cross-chip column-sharded pipeline for
     # wider pairs or when several devices are visible; NEVER fall
     # through to a materialized O(R*C) plane at huge scale ---
-    use_sharded = False
-    if backend == "wavefront_sp" or (
-        auto
-        and integral
-        and not keep_planes
-        and _wf.range_ok(len(q), len(t), del_, ext)
-        and (
-            len(q) > _wf.MAX_WIDTH
-            or (huge and _auto_shard_devices() > 1)
-        )
-    ):
-        use_sharded = True
+    use_sharded = _route_sharded_pair(
+        len(q), len(t), matrix_np, del_, ext,
+        backend=backend, auto=auto, huge=huge, keep_planes=keep_planes,
+    )
     use_wavefront = False
     if not use_sharded and (backend == "wavefront" or auto):
         if _wf.supported(len(q), matrix_np, del_, ext, tlen=len(t)):
@@ -413,14 +441,12 @@ def align_global(
                 and not keep_planes
             )
     if use_sharded:
-        import jax
-        from jax.sharding import Mesh
-
         from .parallel.wavefront_sp import sharded_global_align
 
-        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        # _data_mesh: LOCAL devices under a multi-controller runtime —
+        # a single process must not shard_map over non-addressable chips
         _, qa, ta, coords = sharded_global_align(
-            mesh, q, t, matrix_np, del_, ext
+            _data_mesh(), q, t, matrix_np, del_, ext
         )
         aln = Alignment(qa, ta, coords, 0.0, alphabet)
         return AlignmentResult(aln)
@@ -515,30 +541,23 @@ def global_end_score(
 
     matrix_np = np.asarray(matrix)
     cells = len(q) * len(t)
-    integral = bool(
-        np.all(matrix_np == np.round(matrix_np))
-        and float(del_) == int(del_)
-        and float(ext) == int(ext)
-    )
     huge = cells > _wf.DIRECT_PLANE_CELLS
     auto = backend in (None, "auto")
-    if backend == "wavefront_sp" or (
-        auto
-        and integral
-        and _wf.range_ok(len(q), len(t), del_, ext)
-        and (
-            len(q) > _wf.MAX_WIDTH
-            or (huge and _auto_shard_devices() > 1)
+    if backend not in (None, "auto", "diag", "wavefront_sp", "host"):
+        raise ValidationError(
+            f"unknown backend {backend!r} for global_end_score "
+            "(choose auto, diag, wavefront_sp, or host)"
         )
+    if _route_sharded_pair(
+        len(q), len(t), matrix_np, del_, ext,
+        backend=backend, auto=auto, huge=huge, keep_planes=False,
     ):
-        import jax
-        from jax.sharding import Mesh
-
         from .parallel.wavefront_sp import sharded_global_end_score
 
-        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
         return float(
-            sharded_global_end_score(mesh, q, t, matrix_np, del_, ext)
+            sharded_global_end_score(
+                _data_mesh(), q, t, matrix_np, del_, ext
+            )
         )
     if backend == "diag" or (
         auto

@@ -49,6 +49,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 # the XLA backend — jax.distributed.initialize() may run after import
 NEG = -(2**30) // 2
 
+# Per-device VMEM bounds for the pallas block engine.  Forward fill
+# (run_block_cs, no dirs) holds ~36 bytes/column resident (packed words
+# 24·Cb + three (S,128) i32 tiles); the replay adds a packed direction
+# tile of TB/4 bytes/column.  Wider blocks fall back to the lax engine
+# (bit-identical, no width cap); narrower TB keeps replays compiling.
+MAX_CB = 256 * 1024  # same bound family as ops.wavefront.MAX_WIDTH
+_REPLAY_VMEM_BYTES = 10 * 2**20
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -62,16 +70,8 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
 
     axis = axis or mesh.axis_names[0]
     n = mesh.shape[axis]
-    if engine is None:
-        engine = "pallas" if _on_tpu() else "lax"
-    if engine == "pallas" and np.abs(np.round(np.asarray(matrix))).max(initial=0) > 127:
-        # the packed-byte score words need int8 entries; the lax block
-        # fill handles any integral matrix exactly
-        engine = "lax"
-    if interpret is None:
-        interpret = not _on_tpu()
-    q = np.asarray(q, np.int32)
-    t = np.asarray(t, np.int32)
+    # validate BEFORE any per-element conversion: rejection of an
+    # oversized pair must be O(1), not preceded by a giant int32 copy
     matrix = np.asarray(matrix)
     if not (
         np.all(matrix == np.round(matrix))
@@ -84,6 +84,21 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
             "sharded wavefront: scores would exceed the int32-exact range "
             "(see ops.wavefront.range_ok)"
         )
+    if engine is None:
+        engine = "pallas" if _on_tpu() else "lax"
+    if engine == "pallas" and np.abs(np.round(matrix)).max(initial=0) > 127:
+        # the packed-byte score words need int8 entries; the lax block
+        # fill handles any integral matrix exactly
+        engine = "lax"
+    if engine == "pallas" and _cdiv(_cdiv(len(q), n), 128) * 128 > MAX_CB:
+        # per-device column block past the VMEM budget of the pallas
+        # block engine (same bound family as ops.wavefront.MAX_WIDTH) —
+        # the lax engine streams rows through XLA with no width cap
+        engine = "lax"
+    if interpret is None:
+        interpret = not _on_tpu()
+    q = np.asarray(q, np.int32)
+    t = np.asarray(t, np.int32)
     V = matrix.shape[0]
     C_real, R_real = len(q), len(t)
     if engine == "pallas":
@@ -97,7 +112,20 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
     qp[:C_real] = q
     J = _cdiv(R_real, tr)
     stride = n_ck = None
+    replay_engine = engine
     if tb_rows is not None:
+        if engine == "pallas":
+            # bound the replayed direction tile to the VMEM budget:
+            # (36 + TB/4)·Cb bytes must fit.  If even TB=tr does not,
+            # replay tiles via the lax engine (bit-identical dirs; the
+            # forward fill stays pallas) instead of failing Mosaic
+            # allocation at exactly chromosome scale (review r3 #3)
+            tb_max = (_REPLAY_VMEM_BYTES // Cb - 36) * 4
+            tb_max = (tb_max // tr) * tr
+            if tb_max >= tr:
+                tb_rows = min(tb_rows, tb_max)
+            else:
+                replay_engine = "lax"
         # checkpoint cadence must divide into whole tr-blocks, and the
         # padded row count into whole checkpoints, so replays are uniform
         stride = max(tb_rows // tr, 1)
@@ -106,7 +134,8 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
     R_pad = J * tr
     tp = np.zeros(R_pad, np.int32)
     tp[:R_real] = t
-    mi = jnp.asarray(np.round(matrix).astype(np.int32))
+    mat_i32 = jnp.asarray(np.round(matrix).astype(np.int32))
+    mi = mat_i32
     if engine == "pallas":
         from ..ops.wavefront import pack_matrix_words
 
@@ -117,7 +146,8 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
         Cb=Cb, S_loc=S_loc, C_pad=C_pad, qp=qp,
         J=J, R_pad=R_pad, tp=tp, mi=mi,
         DEL=np.int32(int(del_)), EXT=np.int32(int(ext)),
-        stride=stride, n_ck=n_ck,
+        stride=stride, n_ck=n_ck, replay_engine=replay_engine,
+        mat_i32=mat_i32,
     )
 
 
@@ -412,6 +442,7 @@ def sharded_global_align(
         raise ValueError("empty sequence")
     q_np, t_np = pp["q"], pp["t"]
     Cb, n, engine = pp["Cb"], pp["n"], pp["engine"]
+    replay_engine = pp["replay_engine"]
     stride, n_ck = pp["stride"], pp["n_ck"]
     TB = stride * tr
 
@@ -430,7 +461,7 @@ def sharded_global_align(
         out[xg1 == C_real] = -(C_real + 1) * DEL_i
         return out
 
-    if engine == "pallas":
+    if replay_engine == "pallas":
         from ..ops.wavefront import (
             _unpack_dir_words, pack_query_words, run_block_cs,
         )
@@ -456,7 +487,7 @@ def sharded_global_align(
             lb[0] = lb_hist[d, j * TB - 1]
         lb[1:] = lb_hist[d, j * TB : (j + 1) * TB]
         t_rows = tp[j * TB : (j + 1) * TB]
-        if engine == "pallas":
+        if replay_engine == "pallas":
             if d not in pw_cache:
                 q_tile = jnp.asarray(
                     pp["qp"][x0 : x0 + Cb].reshape(S_loc, 128)
@@ -474,7 +505,7 @@ def sharded_global_align(
             )
             return _unpack_dir_words(np.asarray(outs[3]), Cb)[:TB]
         dirs = _lax_tile_dirs_jit(
-            jnp.asarray(pp["qp"][x0 : x0 + Cb]), pp["mi"],
+            jnp.asarray(pp["qp"][x0 : x0 + Cb]), pp["mat_i32"],
             jnp.asarray(t_rows), jnp.asarray(h0), jnp.asarray(lb),
             jnp.int32(x0), jnp.int32(j * TB),
             C_real=C_real, R_real=R_real,

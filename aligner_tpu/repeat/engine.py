@@ -289,9 +289,27 @@ def _matrix_from_json(obj: dict) -> np.ndarray:
     return np.asarray(obj["data"]).reshape(obj["dim"])
 
 
+def _input_fingerprint(raw_seq: bytes, opts: SearchOptions) -> str:
+    """Digest of the exact scan input: the sequence bytes AS SCANNED
+    (csv mode masks known repeats first, so the same FASTA under a
+    different mask — or an edited known.csv — fingerprints differently)
+    plus the options that shape the search state.  A checkpoint from a
+    different input must not resume silently (review r3 #4)."""
+    if not isinstance(raw_seq, (bytes, bytearray, memoryview)):
+        raw_seq = str(raw_seq).encode("utf-8", "replace")
+    h = hashlib.sha1(raw_seq)
+    h.update(
+        repr((opts.repeat_length, opts.query_offset, opts.deletions,
+              opts.extension, opts.rsquared, opts.kd, opts.threads,
+              opts.repeats, opts.simple_init, opts.reverse)).encode()
+    )
+    return h.hexdigest()[:16]
+
+
 def _save_checkpoint(path: str, head: str, cycle: int, mean: float,
                      std: float, matrix: np.ndarray, tasks: list[Task],
-                     results: dict[str, TaskResult] | None = None):
+                     results: dict[str, TaskResult] | None = None,
+                     fp: str | None = None):
     """Durable per-cycle state: enough to resume a long chromosome scan
     (the per-cycle analogue of the service store's subtask checkpointing,
     which the reference CLI lacks entirely).  ``results`` marks the
@@ -301,7 +319,7 @@ def _save_checkpoint(path: str, head: str, cycle: int, mean: float,
     import json
 
     state = {
-        "head": head, "cycle": cycle, "mean": mean, "std": std,
+        "head": head, "fp": fp, "cycle": cycle, "mean": mean, "std": std,
         "matrix": _matrix_to_json(matrix),
         "tasks": _tasks_to_json(tasks),
     }
@@ -317,11 +335,17 @@ def _save_checkpoint(path: str, head: str, cycle: int, mean: float,
     os.replace(tmp, path)
 
 
-def _load_checkpoint(path: str, head: str):
+def _load_checkpoint(path: str, head: str, fp: str | None = None):
     """Returns None (no usable checkpoint), a dict of TaskResult (record
     already complete), or a (cycle, mean, std, matrix, tasks) resume
-    tuple."""
+    tuple.  ``fp`` is the current input fingerprint: state saved under a
+    different fingerprint (other mask / options) is rejected — resuming
+    it would silently replay results computed from a different input.  A
+    legacy checkpoint with no fingerprint is accepted with a warning so
+    pre-upgrade in-flight scans survive."""
     import json
+
+    from ..observability import log
 
     if not path or not os.path.exists(path):
         return None
@@ -329,6 +353,18 @@ def _load_checkpoint(path: str, head: str):
         state = json.load(fh)
     if state.get("head") != head:
         return None
+    saved_fp = state.get("fp")
+    if fp is not None and saved_fp is not None and saved_fp != fp:
+        log.warning(
+            "checkpoint %s was written for a different input "
+            "(mask/options changed?) — starting fresh", path,
+        )
+        return None
+    if fp is not None and saved_fp is None:
+        log.warning(
+            "checkpoint %s predates input fingerprinting; resuming "
+            "unverified", path,
+        )
     if "complete" in state:
         return {
             key: TaskResult(_tasks_from_json(r["tasks"]),
@@ -377,7 +413,8 @@ def perform_calculation_per_sequence(
     """
     seq, freqs, indices = DNA.encode_with_freqs_and_indices(raw_seq)
 
-    resume = _load_checkpoint(checkpoint, head) if checkpoint else None
+    fp = _input_fingerprint(raw_seq, opts) if checkpoint else None
+    resume = _load_checkpoint(checkpoint, head, fp) if checkpoint else None
     if isinstance(resume, dict):
         return resume  # record already completed in a previous run
     if resume is not None:
@@ -392,7 +429,8 @@ def perform_calculation_per_sequence(
         if checkpoint:
             # the starting scan is the expensive prelude — persist it even
             # before the first cycle completes
-            _save_checkpoint(checkpoint, head, 0, mean, std, matrix, tasks)
+            _save_checkpoint(checkpoint, head, 0, mean, std, matrix,
+                             tasks, fp=fp)
 
     result: dict[str, TaskResult] = {}
 
@@ -416,7 +454,8 @@ def perform_calculation_per_sequence(
             )
 
         if checkpoint:
-            _save_checkpoint(checkpoint, head, i + 1, mean, std, matrix, tasks)
+            _save_checkpoint(checkpoint, head, i + 1, mean, std, matrix,
+                             tasks, fp=fp)
 
     result["direct"] = TaskResult(tasks, matrix.copy())
 
@@ -429,7 +468,7 @@ def perform_calculation_per_sequence(
     if checkpoint:
         _save_checkpoint(
             checkpoint, head, opts.repeats, mean, std, matrix, tasks,
-            results=result,
+            results=result, fp=fp,
         )
 
     return result

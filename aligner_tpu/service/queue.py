@@ -40,6 +40,11 @@ _SCHEMA = [
 ]
 
 HEALTH_WINDOW = 15.0  # seconds of silence before a consumer drops out
+# dead consumers stay visible in /health/check this long (ops can see a
+# recent crash), then their rows are reaped — workers register a fresh
+# uuid name per start, so without retention the table and the health
+# payload grow one permanent entry per past worker (review r3 #10)
+CONSUMER_RETENTION = 3600.0
 
 
 def open_queue(path: str | None = None):
@@ -93,6 +98,10 @@ class JobQueue:
                    on conflict(name) do update set last_seen = excluded.last_seen""",
                 (name, group, time.time()),
             )
+            c.execute(
+                "delete from consumers where last_seen < ?",
+                (time.time() - CONSUMER_RETENTION,),
+            )
 
     def group_members(self, group: str) -> list[str]:
         with self._conn() as c:
@@ -105,9 +114,9 @@ class JobQueue:
     def group_member_stats(self, group: str) -> list[dict]:
         """Per-consumer liveness + load, for ``/health/check`` — the
         reference reports actual member state from Kafka group metadata
-        (handlers.rs:32-70), not a hardcoded flag.  Every registered
-        consumer is listed; ``alive`` reflects the heartbeat window and
-        ``claimed`` counts its currently-leased jobs."""
+        (handlers.rs:32-70), not a hardcoded flag.  Consumers seen
+        within CONSUMER_RETENTION are listed; ``alive`` reflects the
+        heartbeat window and ``claimed`` counts currently-leased jobs."""
         now = time.time()
         with self._conn() as c:
             rows = c.execute(
@@ -115,8 +124,9 @@ class JobQueue:
                           (select count(1) from jobs j
                            where j.consumer = cs.name and j.status = 'claimed'
                              and j.lease_until >= ?) as claimed
-                   from consumers cs where cs.grp = ? order by cs.name""",
-                (now, group),
+                   from consumers cs where cs.grp = ? and cs.last_seen >= ?
+                   order by cs.name""",
+                (now, group, now - CONSUMER_RETENTION),
             ).fetchall()
         return [
             {

@@ -99,12 +99,23 @@ class Store:
             for q in _SCHEMA:
                 try:
                     c.execute(q)
-                except sqlite3.OperationalError:
+                except sqlite3.OperationalError as e:
                     # pre-existing DB whose align_subtasks predates the
-                    # source_key column: migrate in place, then retry
-                    c.execute(
-                        "alter table align_subtasks add column source_key text"
-                    )
+                    # source_key column: migrate in place, then retry.
+                    # Only this one error triggers the ALTER — anything
+                    # else ('database is locked', ...) must propagate
+                    # untouched, and a concurrent starter may have
+                    # already added the column (review r3 #5)
+                    if "source_key" not in str(e):
+                        raise
+                    try:
+                        c.execute(
+                            "alter table align_subtasks "
+                            "add column source_key text"
+                        )
+                    except sqlite3.OperationalError as e2:
+                        if "duplicate column" not in str(e2):
+                            raise
                     c.execute(q)
 
     @contextmanager

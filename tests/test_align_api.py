@@ -196,3 +196,60 @@ def test_backend_wavefront_sp_end_to_end():
     a = align_global(q, t, at.blosum62(), 11.0, 2.0, backend="wavefront_sp")
     b = align_global(q, t, at.blosum62(), 11.0, 2.0, backend="oracle")
     _pairs_equal(a, b)
+
+
+def test_global_end_score_rejects_unknown_backend():
+    """Typo'd backends must raise, not silently run the host O(R*C)
+    fill (review r3 #6)."""
+    from aligner_tpu.errors import ValidationError
+
+    q = np.zeros(8, np.int8)
+    with pytest.raises(ValidationError, match="unknown backend"):
+        at.global_end_score(q, q, at.blosum62(), 11.0, 2.0,
+                            backend="diagg")
+
+
+def test_explicit_wavefront_sp_validation():
+    """backend='wavefront_sp' the pipeline cannot honor raises the
+    documented ValidationError (not a bare ValueError from deep inside),
+    and keep_planes is rejected rather than silently ignored (review
+    r3 #7)."""
+    from aligner_tpu.errors import ValidationError
+
+    q = np.zeros(8, np.int8)
+    with pytest.raises(ValidationError, match="integral"):
+        align_global(q, q, np.full((24, 24), 0.5), 11.0, 2.0,
+                     backend="wavefront_sp")
+    with pytest.raises(ValidationError, match="integral"):
+        at.global_end_score(q, q, at.blosum62(), 11.5, 2.25,
+                            backend="wavefront_sp")
+    with pytest.raises(ValidationError, match="keep_planes"):
+        align_global(q, q, at.blosum62(), 11.0, 2.0,
+                     backend="wavefront_sp", keep_planes=True)
+
+
+def test_sharded_route_uses_local_data_mesh(monkeypatch):
+    """The huge-pair route must build its mesh from the shared
+    _data_mesh helper (local devices under multi-controller), not
+    global jax.devices() (review r3 #1)."""
+    from aligner_tpu import align as align_mod
+    from aligner_tpu.ops.wavefront import MAX_WIDTH
+    from aligner_tpu.parallel import wavefront_sp
+
+    seen = []
+
+    def fake(mesh, q, t, matrix, del_, ext, **kw):
+        seen.append(mesh)
+        return 0.0, np.array([0], np.int16), np.array([0], np.int16), (
+            (1, len(q)), (1, len(t)))
+
+    monkeypatch.setattr(wavefront_sp, "sharded_global_align", fake)
+    monkeypatch.setattr(wavefront_sp, "sharded_global_end_score",
+                        lambda mesh, *a, **kw: seen.append(mesh) or 0.0)
+    rng = np.random.default_rng(2)
+    q = rng.integers(0, 24, MAX_WIDTH + 64).astype(np.int8)
+    t = rng.integers(0, 24, 64).astype(np.int8)
+    align_global(q, t, at.blosum62(), 11.0, 2.0)
+    at.global_end_score(q, t, at.blosum62(), 11.0, 2.0)
+    assert len(seen) == 2
+    assert all(m is align_mod._data_mesh() for m in seen)

@@ -321,3 +321,52 @@ def test_csv_mode_checkpoint_resume(tmp_path, rng):
         assert [(t.left_coord, t.z) for t in res2[key].tasks] == [
             (t.left_coord, t.z) for t in res1[key].tasks
         ]
+
+
+def test_checkpoint_rejects_different_input(tmp_path, rng):
+    """A checkpoint written for one scan input must not resume a scan of
+    a different one: csv mode masks the sequence before scanning, so
+    exploring-mode state under the same path/head would otherwise replay
+    unmasked results silently (review r3 #4)."""
+    from aligner_tpu.repeat.engine import (
+        _input_fingerprint,
+        _load_checkpoint,
+        perform_calculation_per_sequence,
+    )
+
+    motif = "".join("ATCG"[c] for c in rng.integers(0, 4, 40))
+    raw = "".join(
+        "".join("ATCG"[c] for c in rng.integers(0, 4, 100)) + motif
+        for _ in range(6)
+    ).encode()
+    masked = b"N" * 120 + raw[120:]
+    opts = SearchOptions(
+        repeat_length=32, query_offset=12, deletions=6.0, extension=2.0,
+        repeats=2, backend="xla",
+    )
+    assert _input_fingerprint(raw, opts) != _input_fingerprint(masked, opts)
+    assert _input_fingerprint(raw, opts) != _input_fingerprint(
+        raw, SearchOptions(repeat_length=30, query_offset=12,
+                           deletions=6.0, extension=2.0, repeats=2)
+    )
+
+    ckpt = str(tmp_path / "state.json")
+    res_raw = perform_calculation_per_sequence(opts, raw, "chr", rng,
+                                               checkpoint=ckpt)
+    # same head, same path, DIFFERENT input: the complete-state shortcut
+    # must not fire — the masked scan starts fresh
+    assert isinstance(
+        _load_checkpoint(ckpt, "chr", _input_fingerprint(raw, opts)), dict
+    )
+    assert _load_checkpoint(
+        ckpt, "chr", _input_fingerprint(masked, opts)
+    ) is None
+    res_masked = perform_calculation_per_sequence(
+        opts, masked, "chr", np.random.default_rng(3), checkpoint=ckpt
+    )
+    # and the fresh masked run overwrote the checkpoint under its own fp
+    assert isinstance(
+        _load_checkpoint(ckpt, "chr", _input_fingerprint(masked, opts)),
+        dict,
+    )
+    del res_raw, res_masked

@@ -198,3 +198,85 @@ def test_pallas_engine_wide_entry_matrix_falls_back(mesh, rng):
     end = sharded_global_end_score(mesh, q, t, M, 11.0, 2.0,
                                    engine="pallas")
     assert end == ref.score[200, 300]
+
+def test_wide_block_auto_falls_back_to_lax(mesh, rng, monkeypatch):
+    """Per-device column blocks past the pallas VMEM budget must route
+    to the lax engine instead of failing Mosaic allocation (review r3:
+    a 1-device mesh with qlen > MAX_WIDTH used to compile a ~22 MB
+    kernel)."""
+    from aligner_tpu.parallel import wavefront_sp
+
+    monkeypatch.setattr(wavefront_sp, "MAX_CB", 128)
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 2000).astype(np.int8)  # Cb would be 256
+    t = rng.integers(0, 24, 300).astype(np.int8)
+    pp = wavefront_sp._prep_sharded(
+        mesh, q, t, M, 11.0, 2.0, 32, None, "pallas", None
+    )
+    assert pp["engine"] == "lax"
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end = sharded_global_end_score(mesh, q, t, M, 11.0, 2.0, tr=32,
+                                   engine="pallas")
+    assert end == ref.score[300, 2000]
+
+
+def test_replay_tile_clamped_to_vmem_budget(mesh, rng, monkeypatch):
+    """The dirs-emitting replay tile must fit VMEM: tb_rows is clamped
+    when the budget allows a smaller multiple of tr, and the replay
+    drops to the (bit-identical) lax tile engine when even TB=tr does
+    not fit — alignments stay exact either way (review r3 #3)."""
+    from aligner_tpu.parallel import wavefront_sp
+
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 300).astype(np.int8)
+    t = rng.integers(0, 24, 250).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+
+    # budget forces TB down to one tr block but keeps the pallas replay:
+    # Cb = 128 here, so (36 + TB/4)*128 <= budget picks TB = 32
+    monkeypatch.setattr(wavefront_sp, "_REPLAY_VMEM_BYTES", 46 * 128)
+    pp = wavefront_sp._prep_sharded(
+        mesh, q, t, M, 11.0, 2.0, 32, None, "pallas", None, tb_rows=512
+    )
+    assert pp["replay_engine"] == "pallas" and pp["stride"] == 1
+    end, qa, ta, _ = sharded_global_align(
+        mesh, q, t, M, 11.0, 2.0, tr=32, tb_rows=512, engine="pallas"
+    )
+    assert end == ref.score[250, 300]
+    np.testing.assert_array_equal(qa, ref.query_aligned)
+    np.testing.assert_array_equal(ta, ref.target_aligned)
+
+    # budget too small for any pallas replay: lax tile fallback
+    monkeypatch.setattr(wavefront_sp, "_REPLAY_VMEM_BYTES", 37 * 128)
+    pp = wavefront_sp._prep_sharded(
+        mesh, q, t, M, 11.0, 2.0, 32, None, "pallas", None, tb_rows=512
+    )
+    assert pp["engine"] == "pallas" and pp["replay_engine"] == "lax"
+    end, qa, ta, _ = sharded_global_align(
+        mesh, q, t, M, 11.0, 2.0, tr=32, tb_rows=512, engine="pallas"
+    )
+    assert end == ref.score[250, 300]
+    np.testing.assert_array_equal(qa, ref.query_aligned)
+    np.testing.assert_array_equal(ta, ref.target_aligned)
+
+
+def test_oversized_rejection_is_o1(mesh, monkeypatch):
+    """Validation precedes operand conversion: rejecting an oversized
+    pair must not first materialize an int32 copy of it (review r3 #9)."""
+    import aligner_tpu.parallel.wavefront_sp as wavefront_sp
+
+    M = np.asarray(at.blosum62())
+    called = []
+    real_asarray = np.asarray
+
+    def spy(a, *args, **kw):
+        if getattr(a, "nbytes", 0) > 2**20:
+            called.append(a.shape)
+        return real_asarray(a, *args, **kw)
+
+    monkeypatch.setattr(wavefront_sp.np, "asarray", spy)
+    t_huge = np.broadcast_to(np.int8(0), (2**30 // 11,))
+    with pytest.raises(ValueError, match="int32"):
+        sharded_global_align(mesh, np.zeros(8, np.int8), t_huge, M,
+                             11.0, 2.0)
+    assert not called
