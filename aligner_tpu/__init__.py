@@ -41,6 +41,7 @@ from .align import (
     batch_align,
     batch_align_pwm,
     global_end_score,
+    local_max_score,
 )
 from .heuristic import (
     Heuristics,
@@ -72,6 +73,7 @@ __all__ = [
     "batch_align",
     "batch_align_pwm",
     "global_end_score",
+    "local_max_score",
     "Heuristics",
     "HeuristicAligner",
     "HeuristicPWMAligner",

@@ -583,6 +583,48 @@ def global_end_score(
     return float(r.score[len(t), len(q)])
 
 
+def local_max_score(
+    query,
+    target,
+    matrix,
+    del_: float,
+    ext: float,
+    *,
+    alphabet: type[Alphabet] = Protein,
+) -> tuple[float, tuple[int, int]]:
+    """Maximum local score and its cell, without a traceback — the
+    LOCAL-mode sibling of :func:`global_end_score` (the reference's
+    ``f`` field, simple/mod.rs:247, and the value every p-value /
+    service workload consumes).  Returns ``(f, (my, mx))`` with the
+    plane argmax in first-row-major order (simple/mod.rs:212).
+
+    Runs the native streaming fill in O(tn) memory at any size (the
+    local fill is serial per SURVEY §2.3.3 — batches, not wavefronts,
+    are LOCAL mode's parallel axis); falls back to the materializing
+    host engine when the native runtime is unavailable and the plane
+    fits."""
+    from . import native
+    from .ops import wavefront as _wf
+
+    q = _encode(query, alphabet)
+    t = _encode(target, alphabet)
+    if len(q) == 0 or len(t) == 0:
+        raise ResultIsEmpty("empty sequence")
+    if native.available():
+        f, my, mx = native.local_max_score_stream(
+            q, t, np.asarray(matrix), del_, ext
+        )
+        return f, (my, mx)
+    if len(q) * len(t) > _wf.DIRECT_PLANE_CELLS:
+        raise ValidationError(
+            "local_max_score on a huge pair requires the native "
+            "runtime (ALIGNER_NO_NATIVE unset and a working g++)"
+        )
+    plane, _ = oracle.fill_local(q, t, np.asarray(matrix), del_, ext)
+    my, mx = oracle.argmax_first_rowmajor(plane)
+    return float(plane[my, mx]), (int(my), int(mx))
+
+
 def align_local(
     query,
     target,
@@ -595,12 +637,49 @@ def align_local(
     dtype=None,
     keep_planes: bool = False,
 ) -> AlignmentResult:
-    """Local (SW-style) alignment of one pair (simple/mod.rs:147-264)."""
+    """Local (SW-style) alignment of one pair (simple/mod.rs:147-264).
+
+    Huge pairs (area past the direct-plane budget) auto-route to the
+    native streaming engine — exact, memory-bounded O(tn·(qn/cb + cb))
+    checkpoint-and-replay instead of a materialized O(qn·tn) plane.
+    The local fill is inherently serial (the gap-penalty state chains
+    through every cell, SURVEY §2.3.3), so unlike GLOBAL mode there is
+    no wavefront/device path for a single pair; ``backend="stream"``
+    forces the streaming engine at any size."""
+    from .ops import wavefront as _wf
+
     q = _encode(query, alphabet)
     t = _encode(target, alphabet)
     if len(q) == 0 or len(t) == 0:
         raise ResultIsEmpty("empty sequence")
-    backend = pick_backend(backend, cells=len(q) * len(t))
+    cells = len(q) * len(t)
+    huge = cells > _wf.DIRECT_PLANE_CELLS
+    if backend == "stream" or (backend in (None, "auto") and huge):
+        from . import native
+
+        if backend == "stream" and keep_planes:
+            raise ValidationError(
+                "stream cannot materialize planes (keep_planes)"
+            )
+        if native.available() and not keep_planes:
+            f, qa, ta, coords = native.align_local_stream(
+                q, t, np.asarray(matrix), del_, ext
+            )
+            aln = Alignment(qa, ta, coords, f, alphabet)
+            return AlignmentResult(aln)
+        if backend == "stream":
+            raise ValidationError(
+                "backend='stream' requires the native runtime "
+                "(ALIGNER_NO_NATIVE unset and a working g++)"
+            )
+        if huge:
+            raise ValidationError(
+                f"local pair of {cells} cells needs a materialized "
+                "O(R*C) plane under the requested options; huge pairs "
+                "require the native streaming engine (default route) "
+                "without keep_planes"
+            )
+    backend = pick_backend(backend, cells=cells)
     if backend == "oracle":
         r = host.align_local(q, t, np.asarray(matrix), del_, ext)
         aln = Alignment(r.query_aligned, r.target_aligned, r.coords, r.f, alphabet)

@@ -71,7 +71,7 @@ def _load() -> ctypes.CDLL | None:
                     continue
             try:
                 lib = ctypes.CDLL(so)
-                if lib.an_abi_version() != 1:
+                if lib.an_abi_version() != 2:
                     continue
                 _bind(lib)
                 _LIB = lib
@@ -103,6 +103,21 @@ def _bind(lib: ctypes.CDLL) -> None:
         _p_i16, _i64, _p_i8, _p_i64, _p_i64, _p_i64, _p_i64, _p_i64,
     ]
     lib.an_encode.restype = _i64
+    lib.an_fill_local_stream.argtypes = [
+        _p_i8, _i64, _p_i8, _i64, _p_f64, _i64,
+        ctypes.c_double, ctypes.c_double, _i64,
+        _p_f64, _p_f64, _p_f64, _p_i64, _p_i64,
+    ]
+    lib.an_replay_local_block.argtypes = [
+        _p_i8, _p_i8, _i64, _p_f64, _i64,
+        ctypes.c_double, ctypes.c_double, _i64, _i64,
+        _p_f64, ctypes.c_double, _p_u8,
+    ]
+    lib.an_walk_local_cols.argtypes = [
+        _p_u8, _i64, _i64, _i64, _p_i8, _p_i8,
+        _p_i64, _p_i64, _p_i16, _p_i16, _p_i64,
+    ]
+    lib.an_walk_local_cols.restype = ctypes.c_int
 
 
 def available() -> bool:
@@ -169,6 +184,102 @@ def traceback_batch(
     qa = [qa_buf[offsets[b] : offsets[b] + lens[b]][::-1].copy() for b in range(B)]
     ta = [ta_buf[offsets[b] : offsets[b] + lens[b]][::-1].copy() for b in range(B)]
     return qa, ta, end_y, end_x
+
+
+def default_stream_cb(qn: int) -> int:
+    """Checkpoint cadence balancing the two memory terms of the
+    streaming local fill — checkpoints cost (qn/cb)·tn·8 bytes, one
+    replayed direction block costs cb·tn bytes; they equalize at
+    cb = sqrt(8·qn).  Clamped to keep tiny problems single-block and
+    huge ones from degenerate cadences."""
+    return int(min(max(256, np.sqrt(8.0 * qn)), 65536))
+
+
+def local_max_score_stream(q, t, matrix, del_: float, ext: float):
+    """Forward-only streaming local fill: returns (f, my, mx) — the
+    plane maximum and its first-in-row-major argmax — in O(tn) memory.
+    Bit-identical to ``an_fill_local`` + ``an_argmax`` on the full
+    plane (same op order; tests enforce it)."""
+    lib = _load()
+    assert lib is not None
+    q = np.ascontiguousarray(q, np.int8)
+    t = np.ascontiguousarray(t, np.int8)
+    matrix = np.ascontiguousarray(matrix, np.float64)
+    qn, tn = len(q), len(t)
+    cb = qn + 1  # no interior checkpoints: slot 0 only
+    ck_cols = np.zeros((1, tn + 1), np.float64)
+    ck_pen = np.zeros(1, np.float64)
+    bv = np.zeros(1, np.float64)
+    by = np.zeros(1, np.int64)
+    bx = np.zeros(1, np.int64)
+    lib.an_fill_local_stream(q, qn, t, tn, matrix, matrix.shape[1],
+                             del_, ext, cb, ck_cols, ck_pen, bv, by, bx)
+    return float(bv[0]), int(by[0]), int(bx[0])
+
+
+def align_local_stream(q, t, matrix, del_: float, ext: float,
+                       cb: int | None = None):
+    """Memory-bounded exact local alignment of one huge pair.
+
+    Streams the fill (O(tn) live state) with column checkpoints every
+    ``cb`` columns, then replays one cb-wide direction block at a time
+    for the traceback walk — peak memory O(tn·(qn/cb + cb)) instead of
+    the O(qn·tn) plane the materializing engines need.  Returns
+    ``(f, qa, ta, coords)`` with the exact reference semantics of
+    ``host.align_local`` (simple/mod.rs:147-264), including the
+    walk-seeding duplication quirk and first-row-major argmax; raises
+    ResultIsEmpty when no cell scores positive."""
+    from .errors import ResultIsEmpty
+
+    lib = _load()
+    assert lib is not None
+    q = np.ascontiguousarray(q, np.int8)
+    t = np.ascontiguousarray(t, np.int8)
+    matrix = np.ascontiguousarray(matrix, np.float64)
+    qn, tn = len(q), len(t)
+    if qn == 0 or tn == 0:
+        raise ResultIsEmpty("empty sequence")
+    cb = int(cb) if cb else default_stream_cb(qn)
+    n_ck = qn // cb
+    ck_cols = np.empty((n_ck + 1, tn + 1), np.float64)
+    ck_pen = np.empty(n_ck + 1, np.float64)
+    bv = np.zeros(1, np.float64)
+    by = np.zeros(1, np.int64)
+    bx = np.zeros(1, np.int64)
+    lib.an_fill_local_stream(q, qn, t, tn, matrix, matrix.shape[1],
+                             del_, ext, cb, ck_cols, ck_pen, bv, by, bx)
+    my, mx = int(by[0]), int(bx[0])
+    if my == 0 or mx == 0:
+        raise ResultIsEmpty("local alignment has no positive-scoring cell")
+
+    cap = qn + tn + 2
+    qa_buf = np.empty(cap, np.int16)
+    ta_buf = np.empty(cap, np.int16)
+    cy = np.array([my], np.int64)
+    cx = np.array([mx], np.int64)
+    n = np.zeros(1, np.int64)
+    dirs = None
+    while True:
+        k = (int(cx[0]) - 1) // cb  # block covering columns (k·cb, …]
+        x0 = k * cb
+        nx = min(cb, qn - x0)
+        if dirs is None or dirs.shape[0] < nx:
+            dirs = np.empty((max(nx, 1), tn + 1), np.uint8)
+        lib.an_replay_local_block(q, t, tn, matrix, matrix.shape[1],
+                                  del_, ext, x0, nx, ck_cols[k],
+                                  float(ck_pen[k]), dirs)
+        done = lib.an_walk_local_cols(dirs, tn, x0, nx, q, t,
+                                      cy, cx, qa_buf, ta_buf, n)
+        if done or int(cx[0]) == 0:
+            break
+    nn = int(n[0])
+    # the host walk seeds the argmax cell's characters BEFORE walking,
+    # so after the reversal they land last (the reference quirk,
+    # simple/mod.rs:212-218)
+    qa = np.concatenate([qa_buf[:nn][::-1], [np.int16(q[mx - 1])]])
+    ta = np.concatenate([ta_buf[:nn][::-1], [np.int16(t[my - 1])]])
+    coords = ((int(cx[0]) + 1, mx + 1), (int(cy[0]) + 1, my + 1))
+    return float(bv[0]), qa, ta, coords
 
 
 def encode(raw: bytes | np.ndarray, lut256: np.ndarray, vol: int):

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <vector>
 
 namespace {
 
@@ -245,6 +246,153 @@ int64_t an_encode(const uint8_t* raw, int64_t n, const int16_t* lut256,
   return kept;
 }
 
-int an_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Streaming local fill for huge pairs (memory-bounded exact SW).
+//
+// The reference (and the materializing fills above) hold the full
+// (tn+1)x(qn+1) plane; a chromosome-scale local pair cannot.  The local
+// fill is inherently serial — the gap-penalty state chains through every
+// cell in fill order (simple/mod.rs:185-205, see SURVEY.md §2.3.3) — so
+// the right memory-bounded engine is this scalar one: stream the fill
+// column-by-column (the reference's fill order: query x outer, target y
+// inner) keeping ONE live column, checkpoint the column every `cb`
+// columns plus the penalty state entering the next column, and track the
+// argmax online with first-in-row-major tie-breaking (ndarray argmax,
+// simple/mod.rs:212).  The traceback then replays one cb-wide column
+// block at a time.  Peak memory O(tn * (qn/cb + cb)) instead of
+// O(qn * tn); results are bit-identical to an_fill_local + an_argmax +
+// an_traceback (same IEEE-754 ops in the same order).
+
+namespace {
+
+// One column step of the local fill, shared by the streaming forward
+// pass and the block replay so their FP op order cannot diverge.
+// col[] holds the previous column on entry and the new column on exit
+// (col[0] stays 0 — the y=0 border row).  dirs, when non-null, receives
+// tn+1 entries for this column (dirs[0] = BEG, the border row).
+inline void local_column_step(const int8_t* t, int64_t tn, const double* mat,
+                              int64_t vol, int64_t qc, double del, double ext,
+                              double* col, double* pen, uint8_t* dirs,
+                              double* best_v, int64_t* best_y,
+                              int64_t* best_x, int64_t x) {
+  double diag = col[0];
+  if (dirs) dirs[0] = BEG;
+  for (int64_t y = 1; y <= tn; ++y) {
+    const double s = mat[t[y - 1] * vol + qc];
+    const double left = col[y];
+    double v;
+    uint8_t d;
+    direction(col[y - 1] - *pen, left - *pen, diag + s,
+              /*with_beg=*/true, &v, &d);
+    *pen = d != BEG ? ext : del;
+    diag = left;
+    col[y] = v;
+    if (dirs) dirs[y] = d;
+    if (best_v &&
+        (v > *best_v || (v == *best_v && y < *best_y))) {
+      // column-major scan order reproduces row-major-first argmax:
+      // strictly-greater wins; an equal value wins only with a smaller
+      // row (equal rows imply a later column here, which loses)
+      *best_v = v;
+      *best_y = y;
+      *best_x = x;
+    }
+  }
+}
+
+}  // namespace
+
+// Forward pass.  ck_cols: (qn/cb + 1, tn+1) checkpoint slots — slot k
+// stores DP column k*cb (slot 0 is the all-zero border column); ck_pen:
+// matching penalty state entering column k*cb + 1.  best_* start at the
+// border argmax (0, (0,0)) and end at the plane argmax in
+// first-row-major order; a final (0,0) means no positive cell
+// (ResultIsEmpty upstream, same as the materialized path).
+void an_fill_local_stream(const int8_t* q, int64_t qn, const int8_t* t,
+                          int64_t tn, const double* mat, int64_t vol,
+                          double del, double ext, int64_t cb, double* ck_cols,
+                          double* ck_pen, double* best_v, int64_t* best_y,
+                          int64_t* best_x) {
+  const int64_t W = tn + 1;
+  std::vector<double> col(W, 0.0);
+  double pen = del;
+  std::memset(ck_cols, 0, sizeof(double) * W);
+  ck_pen[0] = pen;
+  *best_v = 0.0;
+  *best_y = 0;
+  *best_x = 0;
+  for (int64_t x = 1; x <= qn; ++x) {
+    local_column_step(t, tn, mat, vol, q[x - 1], del, ext, col.data(), &pen,
+                      nullptr, best_v, best_y, best_x, x);
+    if (x % cb == 0) {
+      std::memcpy(ck_cols + (x / cb) * W, col.data(), sizeof(double) * W);
+      ck_pen[x / cb] = pen;
+    }
+  }
+}
+
+// Replay columns x0+1 .. x0+nx from checkpoint state (col0 = DP column
+// x0, pen0 = penalty entering cell (x0+1, 1)), emitting direction
+// columns into dirs (nx, tn+1) — dirs[(x - x0 - 1)*(tn+1) + y].
+void an_replay_local_block(const int8_t* q, const int8_t* t, int64_t tn,
+                           const double* mat, int64_t vol, double del,
+                           double ext, int64_t x0, int64_t nx,
+                           const double* col0, double pen0, uint8_t* dirs) {
+  const int64_t W = tn + 1;
+  std::vector<double> col(col0, col0 + W);
+  double pen = pen0;
+  for (int64_t i = 0; i < nx; ++i) {
+    local_column_step(t, tn, mat, vol, q[x0 + i], del, ext, col.data(), &pen,
+                      dirs + i * W, nullptr, nullptr, nullptr, 0);
+  }
+}
+
+// Walk within one replayed block.  Pushes (walk-order, reversed
+// alignment) into qa/ta exactly like an_traceback's pairwise mode;
+// returns 1 when the walk hit a BEG cell (done) and 0 when it left the
+// block through its left edge (*cx == x0; the caller replays the
+// previous block and continues).  cy/cx/n are in-out.
+int an_walk_local_cols(const uint8_t* dirs, int64_t tn, int64_t x0,
+                       int64_t nx, const int8_t* q, const int8_t* t,
+                       int64_t* cy, int64_t* cx, int16_t* qa, int16_t* ta,
+                       int64_t* n) {
+  constexpr int16_t BLANK = 98;
+  const int64_t W = tn + 1;
+  int64_t y = *cy, x = *cx, k = *n;
+  while (x > x0) {
+    const uint8_t d = dirs[(x - x0 - 1) * W + y];
+    if (d == BEG) {
+      *cy = y;
+      *cx = x;
+      *n = k;
+      return 1;
+    }
+    switch (d) {
+      case TOP:
+        qa[k] = BLANK;
+        ta[k] = t[y - 1];
+        --y;
+        break;
+      case LEFT:
+        qa[k] = q[x - 1];
+        ta[k] = BLANK;
+        --x;
+        break;
+      default:  // DIAG
+        qa[k] = q[x - 1];
+        ta[k] = t[y - 1];
+        --x;
+        --y;
+        break;
+    }
+    ++k;
+  }
+  *cy = y;
+  *cx = x;
+  *n = k;
+  return x == 0;  // column 0 is all-BEG border: the walk is done there
+}
+
+int an_abi_version() { return 2; }
 
 }  // extern "C"
