@@ -72,7 +72,11 @@ int main(int argc, char** argv) {
 """
 
 
-def cpp_baseline_gcups(L=400, iters=20) -> float:
+def cpp_baseline_gcups(L=400, iters=50, runs=3) -> float:
+    """Best of ``runs`` invocations: the scalar baseline jitters 2-4x
+    with host frequency scaling / scheduler noise, and vs_baseline
+    should compare against the baseline's own best, not its unluckiest
+    run."""
     cache = os.path.join(tempfile.gettempdir(), "aligner_cpp_baseline")
     try:
         if not os.path.exists(cache):
@@ -83,11 +87,14 @@ def cpp_baseline_gcups(L=400, iters=20) -> float:
                 ["g++", "-O3", "-march=native", "-o", cache, src],
                 check=True, capture_output=True,
             )
-        out = subprocess.run(
-            [cache, str(L), str(iters)], check=True, capture_output=True, text=True,
-            timeout=120,
-        )
-        return float(out.stdout.split()[0])
+        best = 0.0
+        for _ in range(runs):
+            out = subprocess.run(
+                [cache, str(L), str(iters)], check=True,
+                capture_output=True, text=True, timeout=300,
+            )
+            best = max(best, float(out.stdout.split()[0]))
+        return best
     except Exception:
         return 0.25  # conservative estimate for a native scalar DP
 
@@ -104,7 +111,11 @@ def tpu_gcups() -> tuple[float, str]:
     if on_tpu():
         from aligner_tpu.ops import pallas_dp as P
 
-        B, L, K = 32768, 400, 8
+        # K=32 launches per dispatch: enough chain depth that the axon
+        # tunnel's per-dispatch RTT (absent on co-located hardware) is
+        # <2% of the measurement — the headline then matches the K-loop
+        # marginal rate (~200 vs ~204 GCUPS; K=8 read ~166)
+        B, L, K = 32768, 400, 32
         q = rng.integers(0, 24, (B, L)).astype(np.int32)
         t = rng.integers(0, 24, (B, L)).astype(np.int32)
         ql = np.full(B, L, np.int32)
