@@ -83,13 +83,18 @@ def _pad_batch_rows(arrs, B: int, Bp: int):
 
 
 def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
-                  backend, dtype, track_argmax, ndev):
+                  backend, dtype, track_argmax, ndev, device_dirs=False):
     """Data-sharded batched fill (scores-only or direction-plane mode).
 
     Pads the batch to a device multiple with zero-length problems, runs
     one per-shard kernel under shard_map, and reassembles a FillResult
     identical to the single-device one (plane is never materialized —
     batch consumers read only directions/scores).
+
+    ``device_dirs``: keep the direction planes ON the device and return
+    ``(FillResult(dirs=None), dirs_dev, fmt)`` for the on-device walk
+    (ops/device_walk.py) — fmt "packed" (pallas 2-bit words) or "dense"
+    (lax bordered plane).
     """
     import jax.numpy as jnp
     from jax import shard_map
@@ -156,6 +161,10 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
     )
     fmax, fy, fx, end = (o[:B] for o in outs[:4])
     dirs = None
+    if with_planes and device_dirs:
+        res = FillResult(plane=None, dirs=None, fmax=fmax, fy=fy, fx=fx,
+                         end=end)
+        return res, outs[4][:B], "packed" if backend == "pallas" else "dense"
     if with_planes:
         if backend == "pallas":
             from .ops.pallas_dp import dirs_from_packed
@@ -168,9 +177,10 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
 
 
 def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
-                      ndev):
+                      ndev, device_dirs=False):
     """Data-sharded PWM fill — the window-scan axis of the repeat search
-    (engine/calc.rs:45-75) sharded over the device mesh."""
+    (engine/calc.rs:45-75) sharded over the device mesh.
+    ``device_dirs`` as in :func:`_fill_sharded`."""
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -224,6 +234,10 @@ def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
     )
     fmax, fy, fx, end = (o[:B] for o in outs[:4])
     dirs = None
+    if with_planes and device_dirs:
+        res = FillResult(plane=None, dirs=None, fmax=fmax, fy=fy, fx=fx,
+                         end=end)
+        return res, outs[4][:B], "packed" if backend == "pallas" else "dense"
     if with_planes:
         if backend == "pallas":
             from .ops.pallas_dp import dirs_from_packed
@@ -261,7 +275,7 @@ def pad_batch(
 
 
 def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
-          track_argmax=True, scores_plane=False):
+          track_argmax=True, scores_plane=False, device_dirs=False):
     import jax.numpy as jnp
 
     from .observability import measure
@@ -273,10 +287,50 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
             res = _fill_sharded(
                 q, ql, t, tl, matrix, del_, ext, mode, with_planes,
                 backend, dtype, track_argmax or with_planes, ndev,
+                device_dirs=device_dirs,
             )
-            res.fmax.block_until_ready()
+            (res[0] if device_dirs and with_planes else res).fmax.block_until_ready()
         return res
     with measure(f"{backend}/{mode}", cells, len(ql)):
+        if device_dirs and with_planes:
+            from .ops.scan_engine import FillResult
+
+            if backend == "pallas":
+                from .ops.pallas_dp import fill_full_traced, lut_params
+
+                matrix_np = np.asarray(matrix)
+                packed, lut_bits, lut_bias = (
+                    lut_params(matrix_np) if matrix_np.ndim == 2
+                    else (False, 8, 0)
+                )
+                mat_arg = jnp.asarray(
+                    np.round(matrix_np).astype(np.int32) if packed
+                    else matrix_np,
+                    jnp.int32 if packed else dtype,
+                )
+                fmax, fy, fx, end, words = fill_full_traced(
+                    q, ql, t, tl, mat_arg, del_, ext, mode=mode,
+                    dtype=dtype, packed_lut=packed, lut_bits=lut_bits,
+                    lut_bias=lut_bias,
+                )
+                fmax.block_until_ready()
+                return (
+                    FillResult(plane=None, dirs=None, fmax=fmax, fy=fy,
+                               fx=fx, end=end),
+                    words, "packed",
+                )
+            from .ops.scan_engine import fill_batch
+
+            r = fill_batch(
+                q, ql, t, tl, jnp.asarray(matrix, dtype), del_, ext,
+                mode=mode, with_planes=True, dtype=dtype,
+            )
+            r.fmax.block_until_ready()
+            return (
+                FillResult(plane=None, dirs=None, fmax=r.fmax, fy=r.fy,
+                           fx=r.fx, end=r.end),
+                r.dirs, "dense",
+            )
         if backend == "pallas":
             from .ops.pallas_dp import fill_batch_pallas
 
@@ -297,7 +351,7 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
 
 
 def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
-              scores_plane=False):
+              scores_plane=False, device_dirs=False):
     import jax.numpy as jnp
 
     from .observability import measure
@@ -308,11 +362,39 @@ def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
     if ndev > 1 and len(ql) > 1 and not scores_plane:
         with measure(f"{backend}x{ndev}/pwm", cells, len(ql)):
             res = _fill_pwm_sharded(
-                q, ql, pwm, del_, ext, with_planes, backend, dtype, ndev
+                q, ql, pwm, del_, ext, with_planes, backend, dtype, ndev,
+                device_dirs=device_dirs,
             )
-            res.fmax.block_until_ready()
+            (res[0] if device_dirs and with_planes else res).fmax.block_until_ready()
         return res
     with measure(f"{backend}/pwm", cells, len(ql)):
+        if device_dirs and with_planes:
+            from .ops.scan_engine import FillResult
+
+            if backend == "pallas":
+                from .ops.pallas_dp import fill_pwm_full_traced
+
+                fmax, fy, fx, end, words = fill_pwm_full_traced(
+                    q, ql, jnp.asarray(pwm, dtype), del_, ext, dtype=dtype
+                )
+                fmax.block_until_ready()
+                return (
+                    FillResult(plane=None, dirs=None, fmax=fmax, fy=fy,
+                               fx=fx, end=end),
+                    words, "packed",
+                )
+            from .ops.scan_engine import fill_pwm_batch
+
+            r = fill_pwm_batch(
+                q, ql, jnp.asarray(pwm, dtype), del_, ext,
+                with_planes=True, dtype=dtype,
+            )
+            r.fmax.block_until_ready()
+            return (
+                FillResult(plane=None, dirs=None, fmax=r.fmax, fy=r.fy,
+                           fx=r.fx, end=r.end),
+                r.dirs, "dense",
+            )
         if backend == "pallas":
             from .ops.pallas_dp import fill_pwm_batch_pallas
 
@@ -797,17 +879,70 @@ def batch_align(
     if backend == "oracle":
         backend = "xla"  # the batch path is device-only; oracle covers singles
     dtype = dtype or default_dtype()
-    res = _fill(q, ql, t, tl, matrix, del_, ext, mode, with_alignments,
-                backend, dtype, track_argmax=track_argmax or with_alignments)
+    # device walk by default: the direction planes stay in HBM and only
+    # the 2-bit step streams transfer (~200x less than the packed
+    # planes); ALIGNER_DEVICE_WALK=0 restores the host walks
+    use_dev = (
+        with_alignments
+        and os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
+    )
+    filled = _fill(q, ql, t, tl, matrix, del_, ext, mode, with_alignments,
+                   backend, dtype, track_argmax=track_argmax or with_alignments,
+                   device_dirs=use_dev)
+    if use_dev:
+        res, dirs_dev, fmt = filled
+    else:
+        res = filled
     if not with_alignments:
         return BatchScores(
             fmax=np.asarray(res.fmax)[:n_real], fy=np.asarray(res.fy)[:n_real],
             fx=np.asarray(res.fx)[:n_real], end=np.asarray(res.end)[:n_real],
         )
-    dirs = np.asarray(res.dirs)[:n_real]
     skip_mask = (
         np.zeros(n_real, bool) if skip is None else np.asarray(skip, bool)[:n_real]
     )
+    if use_dev:
+        from .ops.device_walk import decode_pair, walk_batch
+
+        if mode == "global":
+            sy_full = tl.astype(np.int32)
+            sx_full = ql.astype(np.int32)
+        else:
+            sy_full = np.asarray(res.fy, np.int32)
+            sx_full = np.asarray(res.fx, np.int32)
+            bad = ((sy_full[:n_real] == 0) | (sx_full[:n_real] == 0)) & ~skip_mask
+            if bad.any():
+                raise ResultIsEmpty(
+                    "local alignment has no positive-scoring cell"
+                )
+        steps, lens, ey, ex = walk_batch(
+            dirs_dev, fmt, mode, sy_full, sx_full, t.shape[1], q.shape[1]
+        )
+        out = []
+        for b in range(n_real):
+            if skip_mask[b]:
+                out.append(None)
+                continue
+            qa_w, ta_w = decode_pair(steps, lens, sy_full, sx_full, b,
+                                     q[b], t[b])
+            # the seeded character pair lands *after* the reversed walk
+            # (simple/mod.rs:99-106/213-218)
+            if mode == "global":
+                qa = np.append(qa_w, np.int16(qs[b][-1]))
+                ta = np.append(ta_w, np.int16(ts[b][-1]))
+                coords = ((1, int(ql[b])), (1, int(tl[b])))
+                f = 0.0
+            else:
+                qa = np.append(qa_w, np.int16(qs[b][sx_full[b] - 1]))
+                ta = np.append(ta_w, np.int16(ts[b][sy_full[b] - 1]))
+                coords = (
+                    (int(ex[b]) + 1, int(sx_full[b]) + 1),
+                    (int(ey[b]) + 1, int(sy_full[b]) + 1),
+                )
+                f = float(res.fmax[b])
+            out.append(AlignmentResult(Alignment(qa, ta, coords, f, alphabet)))
+        return out
+    dirs = np.asarray(res.dirs)[:n_real]
     from . import native
 
     if native.available() and not skip_mask.any():
@@ -893,14 +1028,46 @@ def batch_align_pwm(
     if backend == "oracle":
         backend = "xla"
     dtype = dtype or default_dtype()
-    res = _fill_pwm(q, ql, pwm, del_, ext, with_alignments, backend, dtype)
+    use_dev = (
+        with_alignments
+        and os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
+    )
+    filled = _fill_pwm(q, ql, pwm, del_, ext, with_alignments, backend,
+                       dtype, device_dirs=use_dev)
+    if use_dev:
+        res, dirs_dev, fmt = filled
+    else:
+        res = filled
     if not with_alignments:
         return BatchScores(
             fmax=np.asarray(res.fmax), fy=np.asarray(res.fy),
             fx=np.asarray(res.fx), end=np.asarray(res.end),
         )
-    dirs = np.asarray(res.dirs)
     width = pwm.shape[-1]
+    if use_dev:
+        from .ops.device_walk import decode_pwm, walk_batch
+
+        sy = np.asarray(res.fy, np.int32)
+        sx = np.asarray(res.fx, np.int32)
+        # PWM planes are (qlen+1, W+1): rows = query positions
+        steps, lens, ey, ex = walk_batch(
+            dirs_dev, fmt, "local", sy, sx, q.shape[1], width
+        )
+        out = []
+        for b in range(len(qs)):
+            qa, numbered = decode_pwm(steps, lens, sy, sx, b, qs[b])
+            coords = (
+                (int(ex[b]) + 1, int(sx[b]) + 1),
+                (int(ey[b]) + 1, int(sy[b]) + 1),
+            )
+            out.append(
+                AlignmentResult(
+                    PWMAlignment(numbered, qa, width, coords,
+                                 float(res.fmax[b]), alphabet)
+                )
+            )
+        return out
+    dirs = np.asarray(res.dirs)
     out = []
     for b in range(len(qs)):
         d = dirs[b, : ql[b] + 1, : width + 1]
