@@ -38,6 +38,7 @@ enums.rs:18-28 (tie policy).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1002,6 +1003,82 @@ def run_block_cs(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
+        "TB",
+    ),
+)
+def _replay_walk_block(
+    q_tile, t_rows, pmat, h0, y_offset, sy_rel, sx,
+    *, S, TR, V, C_real, R_real, del_, ext, interpret, TB,
+):
+    """Replay ONE tb-row block with directions AND walk it on device.
+
+    One dispatch: the with-dirs refill (`_run`) leaves its packed
+    2-bit words in HBM; a `while_loop` then walks from the block-
+    relative entry cell ``(sy_rel, sx)`` (both 1-based) until the walk
+    leaves the block top (y == 0) or hits the border column (x == 0),
+    recording one step code per iteration.  Only the 2-bit packed step
+    stream + the exit cell leave the device — the host never sees the
+    O(TB·C) direction words (8.4 MB/block → ~17 KB/block, the
+    dominant cost of chunked alignment on transfer-bound links).
+
+    Returns (packed_steps (BUD16//16,) int32 — 16 codes/word, BEG-
+    padded; n steps walked; exit y_rel; exit x).
+    """
+    outs = _run(
+        q_tile, t_rows, pmat, h0, y_offset,
+        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
+        del_=del_, ext=ext, with_dirs=True, interpret=interpret,
+    )
+    C_pad = S * LANES
+    flat = outs[1].reshape(TB // ROWS_PER_WORD, C_pad)
+    # every step decreases y+x by >= 1 and y <= TB, x <= C_pad at entry
+    BUD16 = _cdiv(TB + C_pad, 16) * 16
+
+    def cond(c):
+        y, x, _, _ = c
+        return (y > 0) & (x > 0)
+
+    def body(c):
+        y, x, n, buf = c
+        r = y - 1
+        w = flat[r >> 4, x - 1]  # ROWS_PER_WORD == 16
+        d = (w >> ((r & 15) * 2)) & 3  # BEG impossible: global interior
+        up = (d == TOP) | (d == DIAG)
+        lf = (d == LEFT) | (d == DIAG)
+        return (
+            y - up.astype(jnp.int32),
+            x - lf.astype(jnp.int32),
+            n + 1,
+            buf.at[n].set(d),
+        )
+
+    init = (
+        jnp.asarray(sy_rel, jnp.int32),
+        jnp.asarray(sx, jnp.int32),
+        jnp.int32(0),
+        jnp.full((BUD16,), BEG, jnp.int32),
+    )
+    y, x, n, buf = lax.while_loop(cond, body, init)
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    packed = (
+        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
+        .sum(axis=1)
+        .astype(jnp.int32)
+    )
+    return packed, n, y, x
+
+
+def _unpack_step_words(packed: np.ndarray, n: int) -> np.ndarray:
+    """(W,) int32 packed 2-bit step codes → (n,) uint8."""
+    k = np.arange(16, dtype=np.int32) * 2
+    d = (packed[:, None] >> k[None, :]) & 3
+    return d.reshape(-1)[:n].astype(np.uint8)
+
+
 def align_single_global_chunked(
     q: np.ndarray,
     t: np.ndarray,
@@ -1054,18 +1131,19 @@ def align_single_global_chunked(
     end = float(np.asarray(outs[0])[0, 0])
     ckpts = np.asarray(outs[1])  # ckpts[k] = H[(k+1)*TB] (padded rows ok)
 
+    def _block_h0(j: int):
+        if j == 0:
+            return jnp.zeros((S, LANES), jnp.int32)
+        return jnp.asarray(ckpts[j - 1])
+
     def replay_block(j: int) -> np.ndarray:
         """Interior dirs (TB, C_pad) of rows j*TB+1 .. (j+1)*TB."""
-        if j == 0:
-            h0 = jnp.zeros((S, LANES), jnp.int32)
-        else:
-            h0 = jnp.asarray(ckpts[j - 1])
         t_rows = tp[j * TB : (j + 1) * TB]
         routs = _run(
             pp["q_tile"],
             jnp.asarray(t_rows.reshape(TB // tr, 1, tr)),
             pp["pmat"],
-            h0,
+            _block_h0(j),
             np.int32(j * TB),
             S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
             del_=int(del_), ext=int(ext), with_dirs=True,
@@ -1074,50 +1152,80 @@ def align_single_global_chunked(
         return _unpack_dir_words(np.asarray(routs[1]), C_pad)
 
     # --- backward walk (simple/mod.rs:99-127 semantics, chunked) ---
-    qa = [int(q[-1])]
-    ta = [int(t[-1])]
-    cy, cx = R_real, C_real
-    cur_j = -1
-    block = None
+    # default: replay + walk each block ON device (one dispatch per
+    # block, ~2-bit step stream out instead of the 8+ MB direction
+    # words); ALIGNER_DEVICE_WALK=0 restores the host per-cell walk
+    use_device_walk = os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
     from ..alphabet import BLANK
-    while True:
-        if cy == 0:
-            # border row: LEFT until (0, 0) (simple/mod.rs:61)
-            while cx > 0:
-                qa.append(int(q[cx - 1]))
-                ta.append(BLANK)
-                cx -= 1
-            break
-        if cx == 0:
-            # border column: TOP until (0, 0) (simple/mod.rs:66)
-            while cy > 0:
-                qa.append(BLANK)
-                ta.append(int(t[cy - 1]))
+    qa_chunks = [np.array([q[-1]], np.int16)]
+    ta_chunks = [np.array([t[-1]], np.int16)]
+    cy, cx = R_real, C_real
+    if use_device_walk:
+        while cy > 0 and cx > 0:
+            j = (cy - 1) // TB
+            t_rows = tp[j * TB : (j + 1) * TB]
+            packed, n, y_rel, x_exit = _replay_walk_block(
+                pp["q_tile"],
+                jnp.asarray(t_rows.reshape(TB // tr, 1, tr)),
+                pp["pmat"],
+                _block_h0(j),
+                np.int32(j * TB),
+                np.int32(cy - j * TB),
+                np.int32(cx),
+                S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
+                del_=int(del_), ext=int(ext), interpret=bool(interpret),
+                TB=TB,
+            )
+            n = int(n)
+            d = _unpack_step_words(np.asarray(packed), n)
+            up = (d == TOP) | (d == DIAG)
+            lf = (d == LEFT) | (d == DIAG)
+            # cursor position BEFORE each step, by cumulative replay
+            y_at = cy - np.concatenate(([0], np.cumsum(up[:-1])))
+            x_at = cx - np.concatenate(([0], np.cumsum(lf[:-1])))
+            qa_chunks.append(
+                np.where(d == TOP, BLANK, q[x_at - 1]).astype(np.int16)
+            )
+            ta_chunks.append(
+                np.where(d == LEFT, BLANK, t[y_at - 1]).astype(np.int16)
+            )
+            cy = j * TB + int(y_rel)
+            cx = int(x_exit)
+    else:
+        cur_j = -1
+        block = None
+        while cy > 0 and cx > 0:
+            j = (cy - 1) // TB
+            if j != cur_j:
+                block = replay_block(j)
+                cur_j = j
+            dr = block[cy - 1 - j * TB, cx - 1]
+            if dr == TOP:
+                qa_chunks.append(np.array([BLANK], np.int16))
+                ta_chunks.append(np.array([t[cy - 1]], np.int16))
                 cy -= 1
-            continue  # falls into the cy == 0 branch, which breaks
-        j = (cy - 1) // TB
-        if j != cur_j:
-            block = replay_block(j)
-            cur_j = j
-        dr = block[cy - 1 - j * TB, cx - 1]
-        if dr == TOP:
-            qa.append(BLANK)
-            ta.append(int(t[cy - 1]))
-            cy -= 1
-        elif dr == LEFT:
-            qa.append(int(q[cx - 1]))
-            ta.append(BLANK)
-            cx -= 1
-        else:  # DIAG (BEG cannot occur in global interiors)
-            qa.append(int(q[cx - 1]))
-            ta.append(int(t[cy - 1]))
-            cy -= 1
-            cx -= 1
-    qa.reverse()
-    ta.reverse()
+            elif dr == LEFT:
+                qa_chunks.append(np.array([q[cx - 1]], np.int16))
+                ta_chunks.append(np.array([BLANK], np.int16))
+                cx -= 1
+            else:  # DIAG (BEG cannot occur in global interiors)
+                qa_chunks.append(np.array([q[cx - 1]], np.int16))
+                ta_chunks.append(np.array([t[cy - 1]], np.int16))
+                cy -= 1
+                cx -= 1
+    if cx > 0:
+        # border row: LEFT until (0, 0) (simple/mod.rs:61)
+        qa_chunks.append(q[:cx][::-1].astype(np.int16))
+        ta_chunks.append(np.full(cx, BLANK, np.int16))
+    if cy > 0:
+        # border column: TOP until (0, 0) (simple/mod.rs:66)
+        qa_chunks.append(np.full(cy, BLANK, np.int16))
+        ta_chunks.append(t[:cy][::-1].astype(np.int16))
+    qa = np.concatenate(qa_chunks)[::-1]
+    ta = np.concatenate(ta_chunks)[::-1]
     return (
         end,
-        np.array(qa, dtype=np.int16),
-        np.array(ta, dtype=np.int16),
+        np.ascontiguousarray(qa),
+        np.ascontiguousarray(ta),
         ((1, C_real), (1, R_real)),
     )

@@ -218,3 +218,27 @@ def test_empty_sequences_raise():
                                     interpret=True)
     with pytest.raises(ValueError):
         pack_matrix_words(np.full((24, 24), 200.0))
+
+
+def test_chunked_device_walk_matches_host_walk(rng, monkeypatch):
+    """The fused on-device replay+walk (default) is bit-identical to the
+    host per-cell walk over downloaded direction blocks, including
+    block-straddling walks and the border runs."""
+    from aligner_tpu.ops.wavefront import align_single_global_chunked
+
+    M = np.asarray(at.blosum62())
+    for C, R in [(150, 300), (97, 64), (64, 130), (20, 3)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        monkeypatch.setenv("ALIGNER_DEVICE_WALK", "1")
+        dev = align_single_global_chunked(
+            q, t, M, 11.0, 2.0, tb_rows=64, tr=16, interpret=True
+        )
+        monkeypatch.setenv("ALIGNER_DEVICE_WALK", "0")
+        hst = align_single_global_chunked(
+            q, t, M, 11.0, 2.0, tb_rows=64, tr=16, interpret=True
+        )
+        assert dev[0] == hst[0]
+        np.testing.assert_array_equal(dev[1], hst[1])
+        np.testing.assert_array_equal(dev[2], hst[2])
+        assert dev[3] == hst[3]
