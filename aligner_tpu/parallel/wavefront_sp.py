@@ -38,6 +38,7 @@ single-problem scale).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -407,6 +408,102 @@ _lax_tile_dirs_jit = jax.jit(
 )
 
 
+def _walk_tile_loop(get_d, sy_rel, sx_rel, TB, Cb):
+    """Device-side backward walk WITHIN one replayed tile.
+
+    ``get_d(r, c)`` yields the int32 direction of tile-relative
+    interior cell (r, c) (0-based).  Walks from 1-based entry
+    ``(sy_rel, sx_rel)`` until the cursor leaves the tile's top
+    (y == 0) or left (x == 0) edge, recording one 2-bit code per step.
+    Returns (packed codes — 16/word, BEG-padded; n; exit y_rel; exit
+    x_rel).  Same scheme as ops.wavefront._replay_walk_block, but
+    tile-relative in both axes (the sharded tiles also end at device
+    column boundaries, not just block rows)."""
+    from ..ops.scan_engine import BEG, DIAG, LEFT, TOP
+
+    BUD16 = _cdiv(TB + Cb, 16) * 16
+
+    def cond(c):
+        y, x, _, _ = c
+        return (y > 0) & (x > 0)
+
+    def body(c):
+        y, x, n, buf = c
+        d = get_d(y - 1, x - 1)
+        up = (d == TOP) | (d == DIAG)
+        lf = (d == LEFT) | (d == DIAG)
+        return (
+            y - up.astype(jnp.int32),
+            x - lf.astype(jnp.int32),
+            n + 1,
+            buf.at[n].set(d),
+        )
+
+    init = (
+        jnp.asarray(sy_rel, jnp.int32),
+        jnp.asarray(sx_rel, jnp.int32),
+        jnp.int32(0),
+        jnp.full((BUD16,), BEG, jnp.int32),
+    )
+    y, x, n, buf = lax.while_loop(cond, body, init)
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    packed = (
+        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
+        .sum(axis=1)
+        .astype(jnp.int32)
+    )
+    return packed, n, y, x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
+    ),
+)
+def _replay_walk_tile_pallas(
+    pw, t_rows, h0, lb, scal, sy_rel, sx_rel,
+    *, S, TR, V, C_real, R_real, del_, ext, interpret,
+):
+    """Pallas tile replay + device walk fused into one dispatch: the
+    (TR/16, S, 128) packed direction words never leave the device."""
+    from ..ops.wavefront import ROWS_PER_WORD, run_block_cs
+
+    outs = run_block_cs(
+        pw, t_rows, h0, lb, scal,
+        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
+        del_=del_, ext=ext, interpret=interpret, with_dirs=True,
+    )
+    Cb = S * 128
+    flat = outs[3].reshape(TR // ROWS_PER_WORD, Cb)
+
+    def get_d(r, c):
+        w = flat[r >> 4, c]  # ROWS_PER_WORD == 16
+        return (w >> ((r & 15) * 2)) & 3
+
+    return _walk_tile_loop(get_d, sy_rel, sx_rel, TR, Cb)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C_real", "R_real", "V")
+)
+def _replay_walk_tile_lax(
+    q_codes, mat, t_rows, h0, lb, x0, y_base, sy_rel, sx_rel,
+    *, C_real, R_real, DEL, EXT, V,
+):
+    """Lax tile replay + device walk fused into one dispatch."""
+    dirs = _lax_tile_dirs(
+        q_codes, mat, t_rows, h0, lb, x0, y_base, C_real, R_real,
+        DEL, EXT, V,
+    )
+    TB, Cb = dirs.shape
+
+    def get_d(r, c):
+        return dirs[r, c].astype(jnp.int32)
+
+    return _walk_tile_loop(get_d, sy_rel, sx_rel, TB, Cb)
+
+
 def sharded_global_align(
     mesh: Mesh,
     q: np.ndarray,
@@ -470,8 +567,8 @@ def sharded_global_align(
         pmat = pp["mi"]
         pw_cache: dict[int, jax.Array] = {}
 
-    def replay_tile(j: int, d: int) -> np.ndarray:
-        """uint8 dirs (TB, Cb) for rows j*TB+1..(j+1)*TB, device-d cols."""
+    def _tile_inputs(j: int, d: int):
+        """(x0, h0, lb, t_rows) replay operands for tile (j, d)."""
         x0 = d * Cb
         xg1 = x0 + 1 + np.arange(Cb)
         if j == 0:
@@ -487,14 +584,22 @@ def sharded_global_align(
             lb[0] = lb_hist[d, j * TB - 1]
         lb[1:] = lb_hist[d, j * TB : (j + 1) * TB]
         t_rows = tp[j * TB : (j + 1) * TB]
+        return x0, h0, lb, t_rows
+
+    def _pallas_pw(d: int, x0: int):
+        if d not in pw_cache:
+            q_tile = jnp.asarray(
+                pp["qp"][x0 : x0 + Cb].reshape(S_loc, 128)
+            )
+            pw_cache[d] = pack_query_words(q_tile, pmat, V)
+        return pw_cache[d]
+
+    def replay_tile(j: int, d: int) -> np.ndarray:
+        """uint8 dirs (TB, Cb) for rows j*TB+1..(j+1)*TB, device-d cols."""
+        x0, h0, lb, t_rows = _tile_inputs(j, d)
         if replay_engine == "pallas":
-            if d not in pw_cache:
-                q_tile = jnp.asarray(
-                    pp["qp"][x0 : x0 + Cb].reshape(S_loc, 128)
-                )
-                pw_cache[d] = pack_query_words(q_tile, pmat, V)
             outs = run_block_cs(
-                pw_cache[d],
+                _pallas_pw(d, x0),
                 jnp.asarray(t_rows.reshape(1, TB)),
                 jnp.asarray(h0.reshape(S_loc, 128)),
                 jnp.asarray(lb.reshape(1, TB + 1)),
@@ -514,47 +619,91 @@ def sharded_global_align(
         return np.asarray(dirs)
 
     # --- backward walk (simple/mod.rs:99-127 semantics, tiled) ---
-    qa = [int(q_np[-1])]
-    ta = [int(t_np[-1])]
+    # default: replay + walk each tile ON device (one dispatch per
+    # tile, 2-bit step stream out instead of the TB×Cb direction tile);
+    # ALIGNER_DEVICE_WALK=0 restores the host per-cell walk
+    use_device_walk = os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
+    qa_chunks = [np.array([q_np[-1]], np.int16)]
+    ta_chunks = [np.array([t_np[-1]], np.int16)]
     cy, cx = R_real, C_real
-    cur_tile = None
-    tile = None
-    while True:
-        if cy == 0:
-            while cx > 0:  # border row: LEFT to (0,0) (simple/mod.rs:61)
-                qa.append(int(q_np[cx - 1]))
-                ta.append(BLANK)
-                cx -= 1
-            break
-        if cx == 0:
-            while cy > 0:  # border col: TOP to (0,0) (simple/mod.rs:66)
-                qa.append(BLANK)
-                ta.append(int(t_np[cy - 1]))
+    if use_device_walk:
+        from ..ops.wavefront import _unpack_step_words
+
+        while cy > 0 and cx > 0:
+            j, d = (cy - 1) // TB, (cx - 1) // Cb
+            x0, h0, lb, t_rows = _tile_inputs(j, d)
+            sy_rel = np.int32(cy - j * TB)
+            sx_rel = np.int32(cx - x0)
+            if replay_engine == "pallas":
+                packed, nn, y_rel, x_rel = _replay_walk_tile_pallas(
+                    _pallas_pw(d, x0),
+                    jnp.asarray(t_rows.reshape(1, TB)),
+                    jnp.asarray(h0.reshape(S_loc, 128)),
+                    jnp.asarray(lb.reshape(1, TB + 1)),
+                    jnp.asarray(np.array([[x0, j * TB]], np.int32)),
+                    sy_rel, sx_rel,
+                    S=S_loc, TR=TB, V=V, C_real=C_real, R_real=R_real,
+                    del_=DEL_i, ext=EXT_i, interpret=pp["interpret"],
+                )
+            else:
+                packed, nn, y_rel, x_rel = _replay_walk_tile_lax(
+                    jnp.asarray(pp["qp"][x0 : x0 + Cb]), pp["mat_i32"],
+                    jnp.asarray(t_rows), jnp.asarray(h0),
+                    jnp.asarray(lb),
+                    jnp.int32(x0), jnp.int32(j * TB), sy_rel, sx_rel,
+                    C_real=C_real, R_real=R_real,
+                    DEL=jnp.int32(DEL_i), EXT=jnp.int32(EXT_i), V=V,
+                )
+            nn = int(nn)
+            ds = _unpack_step_words(np.asarray(packed), nn)
+            up = (ds == TOP) | (ds == DIAG)
+            lf = (ds == LEFT) | (ds == DIAG)
+            # cursor position BEFORE each step, by cumulative replay
+            y_at = cy - np.concatenate(([0], np.cumsum(up[:-1])))
+            x_at = cx - np.concatenate(([0], np.cumsum(lf[:-1])))
+            qa_chunks.append(
+                np.where(ds == TOP, BLANK, q_np[x_at - 1]).astype(np.int16)
+            )
+            ta_chunks.append(
+                np.where(ds == LEFT, BLANK, t_np[y_at - 1]).astype(np.int16)
+            )
+            cy = j * TB + int(y_rel)
+            cx = x0 + int(x_rel)
+    else:
+        cur_tile = None
+        tile = None
+        while cy > 0 and cx > 0:
+            j, d = (cy - 1) // TB, (cx - 1) // Cb
+            if (j, d) != cur_tile:
+                tile = replay_tile(j, d)
+                cur_tile = (j, d)
+            dr = tile[cy - 1 - j * TB, cx - 1 - d * Cb]
+            if dr == TOP:
+                qa_chunks.append(np.array([BLANK], np.int16))
+                ta_chunks.append(np.array([t_np[cy - 1]], np.int16))
                 cy -= 1
-            continue  # falls into the cy == 0 branch, which breaks
-        j, d = (cy - 1) // TB, (cx - 1) // Cb
-        if (j, d) != cur_tile:
-            tile = replay_tile(j, d)
-            cur_tile = (j, d)
-        dr = tile[cy - 1 - j * TB, cx - 1 - d * Cb]
-        if dr == TOP:
-            qa.append(BLANK)
-            ta.append(int(t_np[cy - 1]))
-            cy -= 1
-        elif dr == LEFT:
-            qa.append(int(q_np[cx - 1]))
-            ta.append(BLANK)
-            cx -= 1
-        else:  # DIAG (BEG cannot occur in global interiors)
-            qa.append(int(q_np[cx - 1]))
-            ta.append(int(t_np[cy - 1]))
-            cy -= 1
-            cx -= 1
-    qa.reverse()
-    ta.reverse()
+            elif dr == LEFT:
+                qa_chunks.append(np.array([q_np[cx - 1]], np.int16))
+                ta_chunks.append(np.array([BLANK], np.int16))
+                cx -= 1
+            else:  # DIAG (BEG cannot occur in global interiors)
+                qa_chunks.append(np.array([q_np[cx - 1]], np.int16))
+                ta_chunks.append(np.array([t_np[cy - 1]], np.int16))
+                cy -= 1
+                cx -= 1
+    if cx > 0:
+        # border row: LEFT until (0, 0) (simple/mod.rs:61)
+        qa_chunks.append(q_np[:cx][::-1].astype(np.int16))
+        ta_chunks.append(np.full(cx, BLANK, np.int16))
+    if cy > 0:
+        # border column: TOP until (0, 0) (simple/mod.rs:66)
+        qa_chunks.append(np.full(cy, BLANK, np.int16))
+        ta_chunks.append(t_np[:cy][::-1].astype(np.int16))
+    qa = np.concatenate(qa_chunks)[::-1]
+    ta = np.concatenate(ta_chunks)[::-1]
     return (
         end,
-        np.array(qa, dtype=np.int16),
-        np.array(ta, dtype=np.int16),
+        np.ascontiguousarray(qa),
+        np.ascontiguousarray(ta),
         ((1, C_real), (1, R_real)),
     )

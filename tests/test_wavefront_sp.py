@@ -280,3 +280,28 @@ def test_oversized_rejection_is_o1(mesh, monkeypatch):
         sharded_global_align(mesh, np.zeros(8, np.int8), t_huge, M,
                              11.0, 2.0)
     assert not called
+
+
+@pytest.mark.parametrize("engine", ["lax", "pallas"])
+def test_sharded_align_device_walk_matches_host_walk(
+    mesh, rng, engine, monkeypatch
+):
+    """The fused on-device tile replay+walk (default) is bit-identical
+    to the host per-cell walk over downloaded tiles for both replay
+    engines, including tile-boundary crossings in both axes."""
+    M = np.asarray(at.blosum62())
+    for C, R in [(300, 150), (128 * 8, 100), (70, 260)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        monkeypatch.setenv("ALIGNER_DEVICE_WALK", "1")
+        dev = sharded_global_align(
+            mesh, q, t, M, 11.0, 2.0, tr=32, tb_rows=64, engine=engine
+        )
+        monkeypatch.setenv("ALIGNER_DEVICE_WALK", "0")
+        hst = sharded_global_align(
+            mesh, q, t, M, 11.0, 2.0, tr=32, tb_rows=64, engine=engine
+        )
+        assert dev[0] == hst[0]
+        np.testing.assert_array_equal(dev[1], hst[1])
+        np.testing.assert_array_equal(dev[2], hst[2])
+        assert dev[3] == hst[3]
