@@ -1003,6 +1003,83 @@ def run_block_cs(
     return out
 
 
+def walk_loop_device(get_d, sy_rel, sx_rel, TB, Cb):
+    """Device-side backward walk WITHIN one replayed block/tile.
+
+    ``get_d(r, c)`` yields the int32 direction of the 0-based interior
+    cell (r, c) relative to the block.  Walks from the 1-based entry
+    ``(sy_rel, sx_rel)`` until the cursor leaves the block's top
+    (y == 0) or left (x == 0) edge, recording one 2-bit code per step
+    (BEG cannot occur in global interiors, so every code moves the
+    cursor and the loop terminates in <= TB + Cb steps).  Shared by the
+    single-chip chunked path and both sharded replay engines.
+
+    Returns (packed codes — 16/word, BEG-padded; n steps; exit y_rel;
+    exit x_rel)."""
+    BUD16 = _cdiv(TB + Cb, 16) * 16
+
+    def cond(c):
+        y, x, _, _ = c
+        return (y > 0) & (x > 0)
+
+    def body(c):
+        y, x, n, buf = c
+        d = get_d(y - 1, x - 1)
+        up = (d == TOP) | (d == DIAG)
+        lf = (d == LEFT) | (d == DIAG)
+        return (
+            y - up.astype(jnp.int32),
+            x - lf.astype(jnp.int32),
+            n + 1,
+            buf.at[n].set(d),
+        )
+
+    init = (
+        jnp.asarray(sy_rel, jnp.int32),
+        jnp.asarray(sx_rel, jnp.int32),
+        jnp.int32(0),
+        jnp.full((BUD16,), BEG, jnp.int32),
+    )
+    y, x, n, buf = lax.while_loop(cond, body, init)
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    packed = (
+        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
+        .sum(axis=1)
+        .astype(jnp.int32)
+    )
+    return packed, n, y, x
+
+
+def packed_words_get_d(flat):
+    """get_d closure over a (rows/16, C_pad) packed direction-word
+    plane in the pallas fills' layout: row r at word r>>4, bit
+    2·(r&15)."""
+    def get_d(r, c):
+        w = flat[r >> 4, c]  # ROWS_PER_WORD == 16
+        return (w >> ((r & 15) * 2)) & 3
+
+    return get_d
+
+
+def steps_to_chunks(packed, n, cy, cx, q, t):
+    """Host-side decode of one device walk's step stream.
+
+    ``(cy, cx)`` is the absolute 1-based entry cell; returns the
+    (qa, ta) int16 chunk pair in walk (reverse-alignment) order by
+    cursor replay — position BEFORE each step via cumulative sums, no
+    plane access (same scheme as ops/device_walk.decode_pair)."""
+    from ..alphabet import BLANK
+
+    ds = _unpack_step_words(np.asarray(packed), n)
+    up = (ds == TOP) | (ds == DIAG)
+    lf = (ds == LEFT) | (ds == DIAG)
+    y_at = cy - np.concatenate(([0], np.cumsum(up[:-1])))
+    x_at = cx - np.concatenate(([0], np.cumsum(lf[:-1])))
+    qa = np.where(ds == TOP, BLANK, q[x_at - 1]).astype(np.int16)
+    ta = np.where(ds == LEFT, BLANK, t[y_at - 1]).astype(np.int16)
+    return qa, ta
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1035,41 +1112,7 @@ def _replay_walk_block(
     )
     C_pad = S * LANES
     flat = outs[1].reshape(TB // ROWS_PER_WORD, C_pad)
-    # every step decreases y+x by >= 1 and y <= TB, x <= C_pad at entry
-    BUD16 = _cdiv(TB + C_pad, 16) * 16
-
-    def cond(c):
-        y, x, _, _ = c
-        return (y > 0) & (x > 0)
-
-    def body(c):
-        y, x, n, buf = c
-        r = y - 1
-        w = flat[r >> 4, x - 1]  # ROWS_PER_WORD == 16
-        d = (w >> ((r & 15) * 2)) & 3  # BEG impossible: global interior
-        up = (d == TOP) | (d == DIAG)
-        lf = (d == LEFT) | (d == DIAG)
-        return (
-            y - up.astype(jnp.int32),
-            x - lf.astype(jnp.int32),
-            n + 1,
-            buf.at[n].set(d),
-        )
-
-    init = (
-        jnp.asarray(sy_rel, jnp.int32),
-        jnp.asarray(sx, jnp.int32),
-        jnp.int32(0),
-        jnp.full((BUD16,), BEG, jnp.int32),
-    )
-    y, x, n, buf = lax.while_loop(cond, body, init)
-    shifts = jnp.arange(16, dtype=jnp.int32) * 2
-    packed = (
-        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
-        .sum(axis=1)
-        .astype(jnp.int32)
-    )
-    return packed, n, y, x
+    return walk_loop_device(packed_words_get_d(flat), sy_rel, sx, TB, C_pad)
 
 
 def _unpack_step_words(packed: np.ndarray, n: int) -> np.ndarray:
@@ -1176,19 +1219,9 @@ def align_single_global_chunked(
                 del_=int(del_), ext=int(ext), interpret=bool(interpret),
                 TB=TB,
             )
-            n = int(n)
-            d = _unpack_step_words(np.asarray(packed), n)
-            up = (d == TOP) | (d == DIAG)
-            lf = (d == LEFT) | (d == DIAG)
-            # cursor position BEFORE each step, by cumulative replay
-            y_at = cy - np.concatenate(([0], np.cumsum(up[:-1])))
-            x_at = cx - np.concatenate(([0], np.cumsum(lf[:-1])))
-            qa_chunks.append(
-                np.where(d == TOP, BLANK, q[x_at - 1]).astype(np.int16)
-            )
-            ta_chunks.append(
-                np.where(d == LEFT, BLANK, t[y_at - 1]).astype(np.int16)
-            )
+            qa_c, ta_c = steps_to_chunks(packed, int(n), cy, cx, q, t)
+            qa_chunks.append(qa_c)
+            ta_chunks.append(ta_c)
             cy = j * TB + int(y_rel)
             cx = int(x_exit)
     else:

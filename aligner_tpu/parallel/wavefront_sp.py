@@ -408,53 +408,6 @@ _lax_tile_dirs_jit = jax.jit(
 )
 
 
-def _walk_tile_loop(get_d, sy_rel, sx_rel, TB, Cb):
-    """Device-side backward walk WITHIN one replayed tile.
-
-    ``get_d(r, c)`` yields the int32 direction of tile-relative
-    interior cell (r, c) (0-based).  Walks from 1-based entry
-    ``(sy_rel, sx_rel)`` until the cursor leaves the tile's top
-    (y == 0) or left (x == 0) edge, recording one 2-bit code per step.
-    Returns (packed codes — 16/word, BEG-padded; n; exit y_rel; exit
-    x_rel).  Same scheme as ops.wavefront._replay_walk_block, but
-    tile-relative in both axes (the sharded tiles also end at device
-    column boundaries, not just block rows)."""
-    from ..ops.scan_engine import BEG, DIAG, LEFT, TOP
-
-    BUD16 = _cdiv(TB + Cb, 16) * 16
-
-    def cond(c):
-        y, x, _, _ = c
-        return (y > 0) & (x > 0)
-
-    def body(c):
-        y, x, n, buf = c
-        d = get_d(y - 1, x - 1)
-        up = (d == TOP) | (d == DIAG)
-        lf = (d == LEFT) | (d == DIAG)
-        return (
-            y - up.astype(jnp.int32),
-            x - lf.astype(jnp.int32),
-            n + 1,
-            buf.at[n].set(d),
-        )
-
-    init = (
-        jnp.asarray(sy_rel, jnp.int32),
-        jnp.asarray(sx_rel, jnp.int32),
-        jnp.int32(0),
-        jnp.full((BUD16,), BEG, jnp.int32),
-    )
-    y, x, n, buf = lax.while_loop(cond, body, init)
-    shifts = jnp.arange(16, dtype=jnp.int32) * 2
-    packed = (
-        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
-        .sum(axis=1)
-        .astype(jnp.int32)
-    )
-    return packed, n, y, x
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -467,7 +420,9 @@ def _replay_walk_tile_pallas(
 ):
     """Pallas tile replay + device walk fused into one dispatch: the
     (TR/16, S, 128) packed direction words never leave the device."""
-    from ..ops.wavefront import ROWS_PER_WORD, run_block_cs
+    from ..ops.wavefront import (
+        ROWS_PER_WORD, packed_words_get_d, run_block_cs, walk_loop_device,
+    )
 
     outs = run_block_cs(
         pw, t_rows, h0, lb, scal,
@@ -476,12 +431,8 @@ def _replay_walk_tile_pallas(
     )
     Cb = S * 128
     flat = outs[3].reshape(TR // ROWS_PER_WORD, Cb)
-
-    def get_d(r, c):
-        w = flat[r >> 4, c]  # ROWS_PER_WORD == 16
-        return (w >> ((r & 15) * 2)) & 3
-
-    return _walk_tile_loop(get_d, sy_rel, sx_rel, TR, Cb)
+    return walk_loop_device(packed_words_get_d(flat), sy_rel, sx_rel,
+                            TR, Cb)
 
 
 @functools.partial(
@@ -492,6 +443,8 @@ def _replay_walk_tile_lax(
     *, C_real, R_real, DEL, EXT, V,
 ):
     """Lax tile replay + device walk fused into one dispatch."""
+    from ..ops.wavefront import walk_loop_device
+
     dirs = _lax_tile_dirs(
         q_codes, mat, t_rows, h0, lb, x0, y_base, C_real, R_real,
         DEL, EXT, V,
@@ -501,7 +454,7 @@ def _replay_walk_tile_lax(
     def get_d(r, c):
         return dirs[r, c].astype(jnp.int32)
 
-    return _walk_tile_loop(get_d, sy_rel, sx_rel, TB, Cb)
+    return walk_loop_device(get_d, sy_rel, sx_rel, TB, Cb)
 
 
 def sharded_global_align(
@@ -627,7 +580,7 @@ def sharded_global_align(
     ta_chunks = [np.array([t_np[-1]], np.int16)]
     cy, cx = R_real, C_real
     if use_device_walk:
-        from ..ops.wavefront import _unpack_step_words
+        from ..ops.wavefront import steps_to_chunks
 
         while cy > 0 and cx > 0:
             j, d = (cy - 1) // TB, (cx - 1) // Cb
@@ -654,19 +607,10 @@ def sharded_global_align(
                     C_real=C_real, R_real=R_real,
                     DEL=jnp.int32(DEL_i), EXT=jnp.int32(EXT_i), V=V,
                 )
-            nn = int(nn)
-            ds = _unpack_step_words(np.asarray(packed), nn)
-            up = (ds == TOP) | (ds == DIAG)
-            lf = (ds == LEFT) | (ds == DIAG)
-            # cursor position BEFORE each step, by cumulative replay
-            y_at = cy - np.concatenate(([0], np.cumsum(up[:-1])))
-            x_at = cx - np.concatenate(([0], np.cumsum(lf[:-1])))
-            qa_chunks.append(
-                np.where(ds == TOP, BLANK, q_np[x_at - 1]).astype(np.int16)
-            )
-            ta_chunks.append(
-                np.where(ds == LEFT, BLANK, t_np[y_at - 1]).astype(np.int16)
-            )
+            qa_c, ta_c = steps_to_chunks(packed, int(nn), cy, cx,
+                                         q_np, t_np)
+            qa_chunks.append(qa_c)
+            ta_chunks.append(ta_c)
             cy = j * TB + int(y_rel)
             cx = x0 + int(x_rel)
     else:
