@@ -90,3 +90,34 @@ def test_transform_matrix_jax_matches_numpy(rng):
             continue
         out = np.asarray(jax.jit(transform_matrix_jax)(m, k_d, r2, freqs))
         np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_differential_chunked_device_walk(rng):
+    """Checkpoint-and-replay + on-device walk vs the host full-plane
+    alignment on random shapes, penalties, alphabets, and block sizes
+    (global mode; the chunked path requires integral int8 matrices)."""
+    from aligner_tpu import host
+    from aligner_tpu.ops.wavefront import align_single_global_chunked
+
+    M = np.asarray(blosum62())
+    for trial in range(6):
+        vol = 24 if trial % 2 == 0 else 4
+        mat = (
+            M if vol == 24
+            else rng.integers(-4, 8, (4, 4)).astype(np.float64)
+        )
+        d = float(rng.integers(1, 20))
+        e = float(rng.integers(1, 8))
+        C = int(rng.integers(1, 180))
+        R = int(rng.integers(1, 180))
+        q = rng.integers(0, vol, C).astype(np.int8)
+        t = rng.integers(0, vol, R).astype(np.int8)
+        tb = 16 * int(rng.integers(1, 5))
+        ref = host.align_global(q, t, mat, d, e)
+        end, qa, ta, coords = align_single_global_chunked(
+            q, t, mat, d, e, tb_rows=tb, tr=16, interpret=True
+        )
+        assert end == ref.score[R, C], (trial, C, R, d, e, tb)
+        np.testing.assert_array_equal(qa, ref.query_aligned)
+        np.testing.assert_array_equal(ta, ref.target_aligned)
+        assert coords == ((1, C), (1, R))
