@@ -112,14 +112,10 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
         (matrix,) = _pad_batch_rows([matrix], B, Bp)
     R_orig = t.shape[1]
 
-    packed, lut_bits, lut_bias = False, 8, 0
-    if backend == "pallas" and not batched_mat:
-        from .ops.pallas_dp import lut_params
+    from .ops.pallas_dp import lut_matrix_arg
 
-        packed, lut_bits, lut_bias = lut_params(matrix)
-    mat_arg = jnp.asarray(
-        np.round(matrix).astype(np.int32) if packed else matrix,
-        jnp.int32 if packed else dtype,
+    mat_arg, packed, lut_bits, lut_bias = lut_matrix_arg(
+        matrix, dtype, enable=(backend == "pallas" and not batched_mat)
     )
     mat_spec = P("data") if batched_mat else P()
     n_out = 5 if with_planes else 4
@@ -296,17 +292,10 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
             from .ops.scan_engine import FillResult
 
             if backend == "pallas":
-                from .ops.pallas_dp import fill_full_traced, lut_params
+                from .ops.pallas_dp import fill_full_traced, lut_matrix_arg
 
-                matrix_np = np.asarray(matrix)
-                packed, lut_bits, lut_bias = (
-                    lut_params(matrix_np) if matrix_np.ndim == 2
-                    else (False, 8, 0)
-                )
-                mat_arg = jnp.asarray(
-                    np.round(matrix_np).astype(np.int32) if packed
-                    else matrix_np,
-                    jnp.int32 if packed else dtype,
+                mat_arg, packed, lut_bits, lut_bias = lut_matrix_arg(
+                    matrix, dtype
                 )
                 fmax, fy, fx, end, words = fill_full_traced(
                     q, ql, t, tl, mat_arg, del_, ext, mode=mode,
@@ -918,6 +907,7 @@ def batch_align(
         steps, lens, ey, ex = walk_batch(
             dirs_dev, fmt, mode, sy_full, sx_full, t.shape[1], q.shape[1]
         )
+        fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
         out = []
         for b in range(n_real):
             if skip_mask[b]:
@@ -939,7 +929,7 @@ def batch_align(
                     (int(ex[b]) + 1, int(sx_full[b]) + 1),
                     (int(ey[b]) + 1, int(sy_full[b]) + 1),
                 )
-                f = float(res.fmax[b])
+                f = float(fmax_np[b])
             out.append(AlignmentResult(Alignment(qa, ta, coords, f, alphabet)))
         return out
     dirs = np.asarray(res.dirs)[:n_real]
@@ -1053,6 +1043,7 @@ def batch_align_pwm(
         steps, lens, ey, ex = walk_batch(
             dirs_dev, fmt, "local", sy, sx, q.shape[1], width
         )
+        fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
         out = []
         for b in range(len(qs)):
             qa, numbered = decode_pwm(steps, lens, sy, sx, b, qs[b])
@@ -1063,7 +1054,7 @@ def batch_align_pwm(
             out.append(
                 AlignmentResult(
                     PWMAlignment(numbered, qa, width, coords,
-                                 float(res.fmax[b]), alphabet)
+                                 float(fmax_np[b]), alphabet)
                 )
             )
         return out

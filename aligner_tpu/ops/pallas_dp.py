@@ -353,6 +353,27 @@ def lut_params(matrix) -> tuple[bool, int, int]:
     return True, 8, 0
 
 
+def lut_matrix_arg(matrix, dtype, enable: bool = True):
+    """Shared packed-LUT matrix prep for the kernel launch paths.
+
+    Returns ``(mat_arg, packed, lut_bits, lut_bias)`` — the device
+    matrix operand (int32 when the packed-LUT fast path applies, else
+    ``dtype``) plus the LUT parameters.  One place decides eligibility
+    and the cast so the sharded / non-sharded / device-dirs launch
+    paths cannot drift apart."""
+    matrix_np = np.asarray(matrix)
+    packed, lut_bits, lut_bias = (
+        lut_params(matrix_np)
+        if (enable and matrix_np.ndim == 2)
+        else (False, 8, 0)
+    )
+    mat_arg = jnp.asarray(
+        np.round(matrix_np).astype(np.int32) if packed else matrix_np,
+        jnp.int32 if packed else dtype,
+    )
+    return mat_arg, packed, lut_bits, lut_bias
+
+
 def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool,
              scores_plane: bool = True) -> int:
     """Largest BS (sublane groups per tile) whose VMEM footprint fits."""
@@ -662,10 +683,6 @@ def fill_batch_pallas(
         R = t.shape[1]
     batched_mat = matrix.ndim == 3
     V = matrix.shape[-1]
-    packed_lut, lut_bits, lut_bias = False, 8, 0
-    if not batched_mat:
-        # integral entries within int8 range → packed-LUT fast path
-        packed_lut, lut_bits, lut_bias = lut_params(matrix)
     BS = min(
         _pick_bs(R, C, V, with_planes, batched_mat, scores_plane),
         max(1, _cdiv(B, LANES)),
@@ -680,11 +697,10 @@ def fill_batch_pallas(
     if batched_mat:
         m4 = _seq_operand(_to_tiles(matrix.reshape(B, V * V), NB, BS, (V * V,)))
         m4 = m4.astype(dtype)
+        packed_lut, lut_bits, lut_bias = False, 8, 0
     else:
-        m4 = jnp.asarray(
-            np.round(matrix).astype(np.int32) if packed_lut else matrix,
-            jnp.int32 if packed_lut else dtype,
-        )
+        # integral entries within int8 range → packed-LUT fast path
+        m4, packed_lut, lut_bits, lut_bias = lut_matrix_arg(matrix, dtype)
 
     # dense: no padding anywhere (every slot a full-size problem)
     dense = bool(

@@ -125,3 +125,33 @@ def test_device_walk_long_pairs(rng, monkeypatch):
         mode="global", backend="xla", with_alignments=True,
     )
     _assert_pairs_equal(dev, host)
+
+
+@pytest.mark.tpu
+def test_device_walk_hardware_spot(rng, monkeypatch):
+    """On real hardware (compiled scan + packed-word gathers, not
+    interpret mode): device walk vs host walk bit-equal for both modes,
+    plus the PWM walk (CLAUDE.md engine-change invariant)."""
+    m = at.blosum62()
+    for mode in ("global", "local"):
+        qs, ts = _rand_batch(rng, 64, lo=20, hi=90,
+                             related=(mode == "local"))
+        dev, host = _run_both(
+            monkeypatch, batch_align, qs, ts, m, 11.0, 2.0,
+            mode=mode, backend="pallas", with_alignments=True,
+        )
+        _assert_pairs_equal(dev, host)
+    pwm = rng.integers(-3, 9, (4, 12)).astype(np.float64)
+    qs4 = [rng.integers(0, 4, rng.integers(8, 40)).astype(np.int8)
+           for _ in range(64)]
+    monkeypatch.setenv("ALIGNER_DEVICE_WALK", "1")
+    dev = batch_align_pwm(qs4, pwm, 3.0, 1.0, backend="pallas",
+                          with_alignments=True)
+    monkeypatch.setenv("ALIGNER_DEVICE_WALK", "0")
+    hst = batch_align_pwm(qs4, pwm, 3.0, 1.0, backend="pallas",
+                          with_alignments=True)
+    for a, b in zip(dev, hst):
+        assert np.array_equal(a.alignment.query, b.alignment.query)
+        assert np.array_equal(a.alignment.numbered, b.alignment.numbered)
+        assert a.alignment.coords == b.alignment.coords
+        assert a.alignment.f == b.alignment.f
