@@ -3,7 +3,8 @@
 Two workloads on protein.fasta-sized problems (~400aa pairs):
 
 * ``scores``      — one query vs N targets, scores only (database sweep);
-* ``alignments``  — full results including host traceback.
+* ``alignments``  — full results including traceback (on-device
+  walk by default; 2-bit step streams transfer, not planes).
 
 Prints one JSON line per workload.
 """
@@ -44,7 +45,7 @@ def main():
         "gcups": round(B * L * L / dt / 1e9, 1),
     }))
 
-    # full alignments (device fill + host traceback)
+    # full alignments (device fill + on-device walk)
     Bf = min(B, 512)
     at.batch_align(qs[:Bf], ts[:Bf], M, 11.0, 2.0, backend=args.backend,
                    with_alignments=True)  # warm
