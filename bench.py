@@ -180,7 +180,40 @@ def tpu_gcups() -> tuple[float, str]:
     return B * L * L / dt / 1e9, "xla/cpu"
 
 
+def _init_watchdog(seconds: float = 600.0):
+    """Fail fast (rc 3) if device discovery wedges.
+
+    The axon tunnel occasionally goes down entirely; ``jax.devices()``
+    then blocks forever, which would hang the whole benchmark run with
+    no diagnostic.  Returns a callable to disarm once the backend is
+    live.  600 s is ~10x a healthy cold init on this tunnel."""
+    import threading
+
+    live = threading.Event()
+
+    def watch():
+        if not live.wait(seconds):
+            import sys
+
+            print(
+                f"bench.py: device backend failed to initialize within "
+                f"{seconds:.0f}s (axon tunnel down?) — aborting",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return live.set
+
+
 def main():
+    disarm = _init_watchdog()
+    import jax
+
+    import aligner_tpu  # noqa: F401  (platform setup)
+
+    jax.devices()
+    disarm()
     value, path = tpu_gcups()
     base = cpp_baseline_gcups()
     print(
