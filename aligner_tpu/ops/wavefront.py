@@ -1084,35 +1084,95 @@ def steps_to_chunks(packed, n, cy, cx, q, t):
     jax.jit,
     static_argnames=(
         "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
-        "TB",
+        "TB", "NCK",
     ),
 )
-def _replay_walk_block(
-    q_tile, t_rows, pmat, h0, y_offset, sy_rel, sx,
-    *, S, TR, V, C_real, R_real, del_, ext, interpret, TB,
+def _replay_walk_all(
+    q_tile, tp_dev, pmat, ckpts_dev,
+    *, S, TR, V, C_real, R_real, del_, ext, interpret, TB, NCK,
 ):
-    """Replay ONE tb-row block with directions AND walk it on device.
+    """Replay and walk the ENTIRE backward traceback in one dispatch.
 
-    One dispatch: the with-dirs refill (`_run`) leaves its packed
-    2-bit words in HBM; a `while_loop` then walks from the block-
-    relative entry cell ``(sy_rel, sx)`` (both 1-based) until the walk
-    leaves the block top (y == 0) or hits the border column (x == 0),
-    recording one step code per iteration.  Only the 2-bit packed step
-    stream + the exit cell leave the device — the host never sees the
-    O(TB·C) direction words (8.4 MB/block → ~17 KB/block, the
-    dominant cost of chunked alignment on transfer-bound links).
+    An outer ``while_loop`` visits the tb-row blocks the walk actually
+    crosses, top-entry downward: each iteration refills block
+    j = (cy-1)//TB *with* directions from its H-row checkpoint (the
+    pallas `_run` inside the loop body), then an inner ``while_loop``
+    walks it until the cursor leaves the block top (next outer
+    iteration) or hits the border column (done).  The packed direction
+    words never leave HBM and the host sees ONE launch for the whole
+    traceback — versus one per block, which cost a full round-trip per
+    2048 rows on high-RTT links (and per-launch overhead anywhere).
 
-    Returns (packed_steps (BUD16//16,) int32 — 16 codes/word, BEG-
-    padded; n steps walked; exit y_rel; exit x).
+    ``tp_dev`` is the (NCK·TB,) padded target; ``ckpts_dev`` the
+    (NCK, S, 128) forward H-row checkpoints, ckpts[k] = H[(k+1)·TB].
+
+    Returns (packed steps — 16 codes/word, BEG-padded; n steps; final
+    cy; final cx) with (cy, cx) on a border (cy == 0 or cx == 0).
     """
-    outs = _run(
-        q_tile, t_rows, pmat, h0, y_offset,
-        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
-        del_=del_, ext=ext, with_dirs=True, interpret=interpret,
-    )
     C_pad = S * LANES
-    flat = outs[1].reshape(TB // ROWS_PER_WORD, C_pad)
-    return walk_loop_device(packed_words_get_d(flat), sy_rel, sx, TB, C_pad)
+    BUD16 = _cdiv(NCK * TB + C_pad + 1, 16) * 16
+    zeros_h0 = jnp.zeros((S, LANES), jnp.int32)
+
+    def outer_cond(c):
+        cy, cx, _, _ = c
+        return (cy > 0) & (cx > 0)
+
+    def outer_body(c):
+        cy, cx, n, buf = c
+        j = (cy - 1) // TB
+        h0 = jnp.where(
+            j == 0,
+            zeros_h0,
+            lax.dynamic_index_in_dim(
+                ckpts_dev, jnp.maximum(j - 1, 0), axis=0, keepdims=False
+            ),
+        )
+        t_rows = lax.dynamic_slice(tp_dev, (j * TB,), (TB,)).reshape(
+            TB // TR, 1, TR
+        )
+        outs = _run(
+            q_tile, t_rows, pmat, h0, j * TB,
+            S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
+            del_=del_, ext=ext, with_dirs=True, interpret=interpret,
+        )
+        flat = outs[1].reshape(TB // ROWS_PER_WORD, C_pad)
+        get_d = packed_words_get_d(flat)
+
+        def icond(s):
+            y, x, _, _ = s
+            return (y > 0) & (x > 0)
+
+        def ibody(s):
+            y, x, n, buf = s
+            d = get_d(y - 1, x - 1)
+            up = (d == TOP) | (d == DIAG)
+            lf = (d == LEFT) | (d == DIAG)
+            return (
+                y - up.astype(jnp.int32),
+                x - lf.astype(jnp.int32),
+                n + 1,
+                buf.at[n].set(d),
+            )
+
+        y, x, n, buf = lax.while_loop(
+            icond, ibody, (cy - j * TB, cx, n, buf)
+        )
+        return (j * TB + y, x, n, buf)
+
+    init = (
+        jnp.int32(R_real),
+        jnp.int32(C_real),
+        jnp.int32(0),
+        jnp.full((BUD16,), BEG, jnp.int32),
+    )
+    cy, cx, n, buf = lax.while_loop(outer_cond, outer_body, init)
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    packed = (
+        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
+        .sum(axis=1)
+        .astype(jnp.int32)
+    )
+    return packed, n, cy, cx
 
 
 def _unpack_step_words(packed: np.ndarray, n: int) -> np.ndarray:
@@ -1172,7 +1232,8 @@ def align_single_global_chunked(
         interpret=bool(interpret), ckpt_every=TB,
     )
     end = float(np.asarray(outs[0])[0, 0])
-    ckpts = np.asarray(outs[1])  # ckpts[k] = H[(k+1)*TB] (padded rows ok)
+    ckpts_dev = outs[1]  # (n_ck, S, 128); ckpts[k] = H[(k+1)*TB]
+    ckpts = np.asarray(ckpts_dev)  # host copy for the fallback walk
 
     def _block_h0(j: int):
         if j == 0:
@@ -1195,35 +1256,29 @@ def align_single_global_chunked(
         return _unpack_dir_words(np.asarray(routs[1]), C_pad)
 
     # --- backward walk (simple/mod.rs:99-127 semantics, chunked) ---
-    # default: replay + walk each block ON device (one dispatch per
-    # block, ~2-bit step stream out instead of the 8+ MB direction
-    # words); ALIGNER_DEVICE_WALK=0 restores the host per-cell walk
+    # default: the WHOLE traceback (every block replay + walk) runs in
+    # one device dispatch; only the 2-bit step stream returns.
+    # ALIGNER_DEVICE_WALK=0 restores the host per-cell walk over
+    # downloaded direction blocks
     use_device_walk = os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
     from ..alphabet import BLANK
     qa_chunks = [np.array([q[-1]], np.int16)]
     ta_chunks = [np.array([t[-1]], np.int16)]
     cy, cx = R_real, C_real
     if use_device_walk:
-        while cy > 0 and cx > 0:
-            j = (cy - 1) // TB
-            t_rows = tp[j * TB : (j + 1) * TB]
-            packed, n, y_rel, x_exit = _replay_walk_block(
-                pp["q_tile"],
-                jnp.asarray(t_rows.reshape(TB // tr, 1, tr)),
-                pp["pmat"],
-                _block_h0(j),
-                np.int32(j * TB),
-                np.int32(cy - j * TB),
-                np.int32(cx),
-                S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
-                del_=int(del_), ext=int(ext), interpret=bool(interpret),
-                TB=TB,
-            )
-            qa_c, ta_c = steps_to_chunks(packed, int(n), cy, cx, q, t)
-            qa_chunks.append(qa_c)
-            ta_chunks.append(ta_c)
-            cy = j * TB + int(y_rel)
-            cx = int(x_exit)
+        packed, n, cy_f, cx_f = _replay_walk_all(
+            pp["q_tile"],
+            jnp.asarray(tp),
+            pp["pmat"],
+            ckpts_dev,
+            S=S, TR=tr, V=pp["V"], C_real=C_real, R_real=R_real,
+            del_=int(del_), ext=int(ext), interpret=bool(interpret),
+            TB=TB, NCK=R_pad // TB,
+        )
+        qa_c, ta_c = steps_to_chunks(packed, int(n), cy, cx, q, t)
+        qa_chunks.append(qa_c)
+        ta_chunks.append(ta_c)
+        cy, cx = int(cy_f), int(cx_f)
     else:
         cur_j = -1
         block = None
