@@ -411,50 +411,133 @@ _lax_tile_dirs_jit = jax.jit(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
+        "engine", "S_loc", "TB", "V", "C_real", "R_real", "del_",
+        "ext", "interpret", "NCK", "n", "Cb",
     ),
 )
-def _replay_walk_tile_pallas(
-    pw, t_rows, h0, lb, scal, sy_rel, sx_rel,
-    *, S, TR, V, C_real, R_real, del_, ext, interpret,
+def _replay_walk_all_sharded(
+    qp_dev, pw_all, mat_i32, pmat, tp_dev, ckpts_dev, lb_hist_dev,
+    *, engine, S_loc, TB, V, C_real, R_real, del_, ext, interpret,
+    NCK, n, Cb,
 ):
-    """Pallas tile replay + device walk fused into one dispatch: the
-    (TR/16, S, 128) packed direction words never leave the device."""
+    """Replay and walk the ENTIRE sharded traceback in one dispatch.
+
+    Mirror of ops.wavefront._replay_walk_all with a second (column-
+    block) tile axis: an outer ``while_loop`` visits the
+    (tb-row × device-column) tiles the walk crosses, refilling each
+    from its forward H-row checkpoint + left-boundary history on
+    device (`run_block_cs` for the pallas engine, `_lax_tile_dirs` for
+    lax) and walking it in place — the host sees one launch and the
+    2-bit step stream for the whole traceback instead of one dispatch
+    + direction tile per crossed tile.
+
+    ``pw_all`` is the (n, n_words, S_loc, 128) per-device packed query
+    words (pallas engine; a (1,) dummy otherwise); ``ckpts_dev`` is
+    (NCK, n·Cb) with ckpts[k] = H[(k+1)·TB]; ``lb_hist_dev`` is
+    (n, NCK·TB) with lb_hist[d, y-1] = H[y, d·Cb].
+
+    Returns (packed steps — 16/word, BEG-padded; n steps; final cy;
+    final cx) with the final cursor on a border.
+    """
+    from ..ops.scan_engine import BEG, DIAG, LEFT, TOP
     from ..ops.wavefront import (
-        ROWS_PER_WORD, packed_words_get_d, run_block_cs, walk_loop_device,
+        ROWS_PER_WORD, packed_words_get_d, run_block_cs,
     )
 
-    outs = run_block_cs(
-        pw, t_rows, h0, lb, scal,
-        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
-        del_=del_, ext=ext, interpret=interpret, with_dirs=True,
+    DEL = jnp.int32(del_)
+    C_tot = n * Cb
+    BUD16 = _cdiv(NCK * TB + C_tot + 1, 16) * 16
+
+    def outer_cond(c):
+        cy, cx, _, _ = c
+        return (cy > 0) & (cx > 0)
+
+    def outer_body(c):
+        cy, cx, nn, buf = c
+        j = (cy - 1) // TB
+        d = (cx - 1) // Cb
+        x0 = d * Cb
+        # checkpoint row (or the closed-form border row for j == 0,
+        # incl. the far-corner overwrite, simple/mod.rs:59-70)
+        xg1 = x0 + 1 + jnp.arange(Cb, dtype=jnp.int32)
+        border_h0 = jnp.where(xg1 == C_real, -(C_real + 1) * DEL,
+                              -xg1 * DEL)
+        ck_row = lax.dynamic_slice(
+            ckpts_dev, (jnp.maximum(j - 1, 0), x0), (1, Cb)
+        )[0]
+        h0 = jnp.where(j == 0, border_h0, ck_row).astype(jnp.int32)
+        # left-boundary column for the tile (lb[0] = H[j·TB, x0])
+        lb0_border = jnp.where(x0 == C_real, -(C_real + 1) * DEL,
+                               -x0 * DEL)
+        lb_prev = lax.dynamic_slice(
+            lb_hist_dev, (d, jnp.maximum(j * TB - 1, 0)), (1, 1)
+        )[0, 0]
+        lb0 = jnp.where(j == 0, lb0_border, lb_prev).astype(jnp.int32)
+        lb = jnp.concatenate([
+            lb0[None],
+            lax.dynamic_slice(lb_hist_dev, (d, j * TB), (1, TB))[0],
+        ])
+        t_rows = lax.dynamic_slice(tp_dev, (j * TB,), (TB,))
+        if engine == "pallas":
+            pw = lax.dynamic_index_in_dim(pw_all, d, axis=0,
+                                          keepdims=False)
+            scal = jnp.stack(
+                [x0.astype(jnp.int32), (j * TB).astype(jnp.int32)]
+            ).reshape(1, 2)
+            outs = run_block_cs(
+                pw, t_rows.reshape(1, TB), h0.reshape(S_loc, 128),
+                lb.reshape(1, TB + 1), scal,
+                S=S_loc, TR=TB, V=V, C_real=C_real, R_real=R_real,
+                del_=del_, ext=ext, interpret=interpret,
+                with_dirs=True,
+            )
+            flat = outs[3].reshape(TB // ROWS_PER_WORD, Cb)
+            get_d = packed_words_get_d(flat)
+        else:
+            q_codes = lax.dynamic_slice(qp_dev, (x0,), (Cb,))
+            dirs = _lax_tile_dirs(
+                q_codes, mat_i32, t_rows, h0, lb, x0, j * TB,
+                C_real, R_real, DEL, jnp.int32(ext), V,
+            )
+
+            def get_d(r, c):
+                return dirs[r, c].astype(jnp.int32)
+
+        def icond(s):
+            y, x, _, _ = s
+            return (y > 0) & (x > 0)
+
+        def ibody(s):
+            y, x, nn, buf = s
+            dd = get_d(y - 1, x - 1)
+            up = (dd == TOP) | (dd == DIAG)
+            lf = (dd == LEFT) | (dd == DIAG)
+            return (
+                y - up.astype(jnp.int32),
+                x - lf.astype(jnp.int32),
+                nn + 1,
+                buf.at[nn].set(dd),
+            )
+
+        y, x, nn, buf = lax.while_loop(
+            icond, ibody, (cy - j * TB, cx - x0, nn, buf)
+        )
+        return (j * TB + y, x0 + x, nn, buf)
+
+    init = (
+        jnp.int32(R_real),
+        jnp.int32(C_real),
+        jnp.int32(0),
+        jnp.full((BUD16,), BEG, jnp.int32),
     )
-    Cb = S * 128
-    flat = outs[3].reshape(TR // ROWS_PER_WORD, Cb)
-    return walk_loop_device(packed_words_get_d(flat), sy_rel, sx_rel,
-                            TR, Cb)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("C_real", "R_real", "V")
-)
-def _replay_walk_tile_lax(
-    q_codes, mat, t_rows, h0, lb, x0, y_base, sy_rel, sx_rel,
-    *, C_real, R_real, DEL, EXT, V,
-):
-    """Lax tile replay + device walk fused into one dispatch."""
-    from ..ops.wavefront import walk_loop_device
-
-    dirs = _lax_tile_dirs(
-        q_codes, mat, t_rows, h0, lb, x0, y_base, C_real, R_real,
-        DEL, EXT, V,
+    cy, cx, nn, buf = lax.while_loop(outer_cond, outer_body, init)
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    packed = (
+        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
+        .sum(axis=1)
+        .astype(jnp.int32)
     )
-    TB, Cb = dirs.shape
-
-    def get_d(r, c):
-        return dirs[r, c].astype(jnp.int32)
-
-    return walk_loop_device(get_d, sy_rel, sx_rel, TB, Cb)
+    return packed, nn, cy, cx
 
 
 def sharded_global_align(
@@ -572,8 +655,8 @@ def sharded_global_align(
         return np.asarray(dirs)
 
     # --- backward walk (simple/mod.rs:99-127 semantics, tiled) ---
-    # default: replay + walk each tile ON device (one dispatch per
-    # tile, 2-bit step stream out instead of the TB×Cb direction tile);
+    # default: the WHOLE traceback (every crossed tile's replay + walk)
+    # runs in one device dispatch; only the 2-bit step stream returns.
     # ALIGNER_DEVICE_WALK=0 restores the host per-cell walk
     use_device_walk = os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
     qa_chunks = [np.array([q_np[-1]], np.int16)]
@@ -582,37 +665,36 @@ def sharded_global_align(
     if use_device_walk:
         from ..ops.wavefront import steps_to_chunks
 
-        while cy > 0 and cx > 0:
-            j, d = (cy - 1) // TB, (cx - 1) // Cb
-            x0, h0, lb, t_rows = _tile_inputs(j, d)
-            sy_rel = np.int32(cy - j * TB)
-            sx_rel = np.int32(cx - x0)
-            if replay_engine == "pallas":
-                packed, nn, y_rel, x_rel = _replay_walk_tile_pallas(
-                    _pallas_pw(d, x0),
-                    jnp.asarray(t_rows.reshape(1, TB)),
-                    jnp.asarray(h0.reshape(S_loc, 128)),
-                    jnp.asarray(lb.reshape(1, TB + 1)),
-                    jnp.asarray(np.array([[x0, j * TB]], np.int32)),
-                    sy_rel, sx_rel,
-                    S=S_loc, TR=TB, V=V, C_real=C_real, R_real=R_real,
-                    del_=DEL_i, ext=EXT_i, interpret=pp["interpret"],
+        dummy = jnp.zeros((1,), jnp.int32)
+        if replay_engine == "pallas":
+            from ..ops.wavefront import pack_query_words as _pqw
+
+            pw_all = jnp.stack([
+                _pqw(
+                    jnp.asarray(
+                        pp["qp"][dd * Cb : (dd + 1) * Cb]
+                        .reshape(S_loc, 128)
+                    ),
+                    pmat, V,
                 )
-            else:
-                packed, nn, y_rel, x_rel = _replay_walk_tile_lax(
-                    jnp.asarray(pp["qp"][x0 : x0 + Cb]), pp["mat_i32"],
-                    jnp.asarray(t_rows), jnp.asarray(h0),
-                    jnp.asarray(lb),
-                    jnp.int32(x0), jnp.int32(j * TB), sy_rel, sx_rel,
-                    C_real=C_real, R_real=R_real,
-                    DEL=jnp.int32(DEL_i), EXT=jnp.int32(EXT_i), V=V,
-                )
-            qa_c, ta_c = steps_to_chunks(packed, int(nn), cy, cx,
-                                         q_np, t_np)
-            qa_chunks.append(qa_c)
-            ta_chunks.append(ta_c)
-            cy = j * TB + int(y_rel)
-            cx = x0 + int(x_rel)
+                for dd in range(n)
+            ])
+            qp_dev, mat_arg, pm = dummy, dummy, pmat
+        else:
+            pw_all, pm = dummy, dummy
+            qp_dev = jnp.asarray(pp["qp"])
+            mat_arg = pp["mat_i32"]
+        packed, nn, cy_f, cx_f = _replay_walk_all_sharded(
+            qp_dev, pw_all, mat_arg, pm,
+            jnp.asarray(tp), jnp.asarray(ckpts), jnp.asarray(lb_hist),
+            engine=replay_engine, S_loc=pp["S_loc"], TB=TB, V=V,
+            C_real=C_real, R_real=R_real, del_=DEL_i, ext=EXT_i,
+            interpret=pp["interpret"], NCK=ckpts.shape[0], n=n, Cb=Cb,
+        )
+        qa_c, ta_c = steps_to_chunks(packed, int(nn), cy, cx, q_np, t_np)
+        qa_chunks.append(qa_c)
+        ta_chunks.append(ta_c)
+        cy, cx = int(cy_f), int(cx_f)
     else:
         cur_tile = None
         tile = None
