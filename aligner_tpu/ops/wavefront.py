@@ -1003,20 +1003,20 @@ def run_block_cs(
     return out
 
 
-def walk_loop_device(get_d, sy_rel, sx_rel, TB, Cb):
+def walk_tile_inner(get_d, y, x, n, buf):
     """Device-side backward walk WITHIN one replayed block/tile.
 
     ``get_d(r, c)`` yields the int32 direction of the 0-based interior
-    cell (r, c) relative to the block.  Walks from the 1-based entry
-    ``(sy_rel, sx_rel)`` until the cursor leaves the block's top
-    (y == 0) or left (x == 0) edge, recording one 2-bit code per step
-    (BEG cannot occur in global interiors, so every code moves the
-    cursor and the loop terminates in <= TB + Cb steps).  Shared by the
-    single-chip chunked path and both sharded replay engines.
+    cell (r, c) relative to the block.  Walks from the 1-based
+    tile-relative entry ``(y, x)`` until the cursor leaves the block's
+    top (y == 0) or left (x == 0) edge, appending one 2-bit code per
+    step into ``buf`` at the running count ``n`` (BEG cannot occur in
+    global interiors, so every code moves the cursor and the loop
+    terminates).  Shared by the single-chip chunked walk and both
+    sharded replay engines — their outer block loops carry (n, buf)
+    through successive tiles.
 
-    Returns (packed codes — 16/word, BEG-padded; n steps; exit y_rel;
-    exit x_rel)."""
-    BUD16 = _cdiv(TB + Cb, 16) * 16
+    Returns the updated (y, x, n, buf)."""
 
     def cond(c):
         y, x, _, _ = c
@@ -1034,20 +1034,17 @@ def walk_loop_device(get_d, sy_rel, sx_rel, TB, Cb):
             buf.at[n].set(d),
         )
 
-    init = (
-        jnp.asarray(sy_rel, jnp.int32),
-        jnp.asarray(sx_rel, jnp.int32),
-        jnp.int32(0),
-        jnp.full((BUD16,), BEG, jnp.int32),
-    )
-    y, x, n, buf = lax.while_loop(cond, body, init)
+    return lax.while_loop(cond, body, (y, x, n, buf))
+
+
+def pack_walk_steps(buf):
+    """(BUD16,) int32 step codes → (BUD16/16,) packed 16-codes-per-word."""
     shifts = jnp.arange(16, dtype=jnp.int32) * 2
-    packed = (
-        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
+    return (
+        (buf.reshape(-1, 16) << shifts[None, :])
         .sum(axis=1)
         .astype(jnp.int32)
     )
-    return packed, n, y, x
 
 
 def packed_words_get_d(flat):
@@ -1136,26 +1133,8 @@ def _replay_walk_all(
             del_=del_, ext=ext, with_dirs=True, interpret=interpret,
         )
         flat = outs[1].reshape(TB // ROWS_PER_WORD, C_pad)
-        get_d = packed_words_get_d(flat)
-
-        def icond(s):
-            y, x, _, _ = s
-            return (y > 0) & (x > 0)
-
-        def ibody(s):
-            y, x, n, buf = s
-            d = get_d(y - 1, x - 1)
-            up = (d == TOP) | (d == DIAG)
-            lf = (d == LEFT) | (d == DIAG)
-            return (
-                y - up.astype(jnp.int32),
-                x - lf.astype(jnp.int32),
-                n + 1,
-                buf.at[n].set(d),
-            )
-
-        y, x, n, buf = lax.while_loop(
-            icond, ibody, (cy - j * TB, cx, n, buf)
+        y, x, n, buf = walk_tile_inner(
+            packed_words_get_d(flat), cy - j * TB, cx, n, buf
         )
         return (j * TB + y, x, n, buf)
 
@@ -1166,13 +1145,7 @@ def _replay_walk_all(
         jnp.full((BUD16,), BEG, jnp.int32),
     )
     cy, cx, n, buf = lax.while_loop(outer_cond, outer_body, init)
-    shifts = jnp.arange(16, dtype=jnp.int32) * 2
-    packed = (
-        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
-        .sum(axis=1)
-        .astype(jnp.int32)
-    )
-    return packed, n, cy, cx
+    return pack_walk_steps(buf), n, cy, cx
 
 
 def _unpack_step_words(packed: np.ndarray, n: int) -> np.ndarray:

@@ -439,9 +439,10 @@ def _replay_walk_all_sharded(
     Returns (packed steps — 16/word, BEG-padded; n steps; final cy;
     final cx) with the final cursor on a border.
     """
-    from ..ops.scan_engine import BEG, DIAG, LEFT, TOP
+    from ..ops.scan_engine import BEG
     from ..ops.wavefront import (
-        ROWS_PER_WORD, packed_words_get_d, run_block_cs,
+        ROWS_PER_WORD, pack_walk_steps, packed_words_get_d,
+        run_block_cs, walk_tile_inner,
     )
 
     DEL = jnp.int32(del_)
@@ -503,24 +504,8 @@ def _replay_walk_all_sharded(
             def get_d(r, c):
                 return dirs[r, c].astype(jnp.int32)
 
-        def icond(s):
-            y, x, _, _ = s
-            return (y > 0) & (x > 0)
-
-        def ibody(s):
-            y, x, nn, buf = s
-            dd = get_d(y - 1, x - 1)
-            up = (dd == TOP) | (dd == DIAG)
-            lf = (dd == LEFT) | (dd == DIAG)
-            return (
-                y - up.astype(jnp.int32),
-                x - lf.astype(jnp.int32),
-                nn + 1,
-                buf.at[nn].set(dd),
-            )
-
-        y, x, nn, buf = lax.while_loop(
-            icond, ibody, (cy - j * TB, cx - x0, nn, buf)
+        y, x, nn, buf = walk_tile_inner(
+            get_d, cy - j * TB, cx - x0, nn, buf
         )
         return (j * TB + y, x0 + x, nn, buf)
 
@@ -531,13 +516,7 @@ def _replay_walk_all_sharded(
         jnp.full((BUD16,), BEG, jnp.int32),
     )
     cy, cx, nn, buf = lax.while_loop(outer_cond, outer_body, init)
-    shifts = jnp.arange(16, dtype=jnp.int32) * 2
-    packed = (
-        (buf.reshape(BUD16 // 16, 16) << shifts[None, :])
-        .sum(axis=1)
-        .astype(jnp.int32)
-    )
-    return packed, nn, cy, cx
+    return pack_walk_steps(buf), nn, cy, cx
 
 
 def sharded_global_align(
