@@ -363,7 +363,17 @@ def _lax_tile_dirs(q_codes, mat, t_rows, h0, lb, x0, y_base,
                    C_real, R_real, DEL, EXT, V):
     """Direction tile (TB, Cb) of one replayed block, plain lax — the
     replay engine matching the "lax" forward fill.  Bit-identical
-    recurrence; dirs by the exact tie policy (top > left > diagonal)."""
+    recurrence; dirs by the exact tie policy (top > left > diagonal).
+
+    NOTE: this recurrence intentionally exists in three forms (the
+    pipeline's ``row_fill``, this replay, and the pallas
+    ``_kernel_block_cs``) because each runs in a different execution
+    context (shard_map scan / host-driven replay / Mosaic kernel) with
+    different operand layouts.  Any edit to one MUST be mirrored in the
+    others; the parity suite pins all three bit-for-bit against the f64
+    oracle on every run (test_wavefront_sp: forward end-scores AND
+    replayed-walk alignments for both engines), so a missed mirror
+    cannot land green."""
     Cb = q_codes.shape[0]
     xg = x0 + jnp.arange(Cb, dtype=jnp.int32)
     xp = (xg + 1) * EXT

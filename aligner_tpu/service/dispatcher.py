@@ -144,6 +144,11 @@ class Dispatcher:
             # == gate relies on Kafka duplicates being rare)
             if pct >= 100.0 - 1e-9:
                 self.store.promote_if_complete(h)
+            # promoted tasks have no subtask rows left, so the raw count
+            # reads 0 — report DONE as 100 (the reference would show 0
+            # for a finished task on any later query, queries.rs:67-72)
+            if self.store.get_status_by_hash(h) == "DONE":
+                pct = 100.0
             percentages[h] = min(pct, 100.0)
         return {"progress": percentages, "message": MSG_PROGRESS}
 

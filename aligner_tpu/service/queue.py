@@ -103,13 +103,23 @@ class JobQueue:
                 (time.time() - CONSUMER_RETENTION,),
             )
 
-    def group_members(self, group: str) -> list[str]:
+    def deregister_consumer(self, name: str) -> None:
+        """Remove a consumer row on CLEAN shutdown, so routine worker
+        restarts (each start registers a fresh uuid name) don't leave
+        an hour of ``status: false`` ghosts in ``/health/check``.
+        Crashed workers never reach this and stay visible until
+        CONSUMER_RETENTION reaps them — that lingering is the crash
+        signal the retention window exists for."""
         with self._conn() as c:
-            rows = c.execute(
-                "select name from consumers where grp = ? and last_seen >= ?",
-                (group, time.time() - HEALTH_WINDOW),
-            ).fetchall()
-        return [r[0] for r in rows]
+            c.execute("delete from consumers where name = ?", (name,))
+
+    def group_members(self, group: str) -> list[str]:
+        """Names inside the heartbeat window — a projection of
+        :meth:`group_member_stats` so the two liveness views cannot
+        drift."""
+        return [
+            m["name"] for m in self.group_member_stats(group) if m["alive"]
+        ]
 
     def group_member_stats(self, group: str) -> list[dict]:
         """Per-consumer liveness + load, for ``/health/check`` — the
@@ -151,10 +161,12 @@ class JobQueue:
         Mutual exclusion matches Kafka's consumer-group ownership
         (node/main.rs:32-44): ``BEGIN IMMEDIATE`` takes the sqlite write
         lock before the candidate SELECT, so two concurrently polling
-        workers serialize and can never claim the same job; the per-row
-        UPDATE additionally rechecks claimability and its rowcount gates
-        membership in the returned batch, guarding against any writer
-        that bypassed the immediate transaction."""
+        workers serialize and can never claim the same job.  The claim
+        is ONE batched UPDATE (re-stating the claimability predicate as
+        belt-and-suspenders against any writer that bypassed the
+        immediate transaction) — per-row updates would hold the
+        exclusive lock for ``limit`` round-trips while every other
+        poller blocks."""
         now = time.time()
         claimed: list[tuple[int, str]] = []
         with self._conn() as c:
@@ -168,16 +180,27 @@ class JobQueue:
                    order by id limit ?""",
                 (topic, group, now, limit),
             ).fetchall()
-            for job_id, payload in rows:
+            if rows:
+                ids = [r[0] for r in rows]
+                ph = ",".join("?" * len(ids))
                 cur = c.execute(
-                    """update jobs set status='claimed', consumer=?, lease_until=?
-                       where id = ?
-                         and (status = 'ready'
-                              or (status = 'claimed' and lease_until < ?))""",
-                    (consumer, now + lease, job_id, now),
+                    f"""update jobs set status='claimed', consumer=?,
+                               lease_until=?
+                        where id in ({ph})
+                          and (status = 'ready'
+                               or (status = 'claimed' and lease_until < ?))""",
+                    (consumer, now + lease, *ids, now),
                 )
-                if cur.rowcount == 1:
-                    claimed.append((job_id, payload))
+                if cur.rowcount == len(ids):
+                    claimed = [(int(r[0]), r[1]) for r in rows]
+                else:  # unreachable under the immediate lock; re-project
+                    owned = c.execute(
+                        f"""select id, payload from jobs
+                            where id in ({ph}) and consumer = ?
+                              and status = 'claimed' and lease_until = ?""",
+                        (*ids, consumer, now + lease),
+                    ).fetchall()
+                    claimed = [(int(r[0]), r[1]) for r in owned]
         return claimed
 
     def commit(self, job_ids: list[int]) -> None:

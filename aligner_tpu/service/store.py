@@ -161,6 +161,13 @@ class Store:
             ).fetchone()
         return row[0] if row else None
 
+    def get_status_by_hash(self, hash_: str) -> str | None:
+        with self._conn() as c:
+            row = c.execute(
+                "select status from align_tasks where hash = ?", (hash_,)
+            ).fetchone()
+        return row[0] if row else None
+
     def insert_align_subtask(
         self, hash_: str, f_value: float, matrix: np.ndarray,
         result_query: str, result_target: str,
@@ -170,11 +177,26 @@ class Store:
         idempotent under at-least-once redelivery: a duplicate delivery
         of the same job is a no-op instead of a duplicate subtask that
         would overshoot the completion percentage.  ``None`` keeps the
-        unkeyed (always-insert) behavior for direct API use."""
-        task_id = self.get_task_id_by_hash(hash_)
-        if task_id is None:
-            raise ValidationError(f"no task with hash {hash_}")
+        unkeyed (always-insert) behavior for direct API use.
+
+        The status check shares one ``BEGIN IMMEDIATE`` transaction with
+        the insert: a redelivery that lands AFTER promotion (promotion
+        deletes the subtask rows — and with them the source_keys the
+        idempotency guard needs) must be a no-op, not an orphan row in
+        a DONE task that would drag the reported percentage below 100
+        forever."""
         with self._conn() as c:
+            c.isolation_level = None
+            c.execute("begin immediate")
+            row = c.execute(
+                "select id, status from align_tasks where hash = ?",
+                (hash_,),
+            ).fetchone()
+            if row is None:
+                raise ValidationError(f"no task with hash {hash_}")
+            task_id, status = row
+            if status == "DONE":
+                return
             c.execute(
                 """insert or ignore into align_subtasks
                    (task_id, f_value, matrix_json, result_query_sequence,

@@ -118,11 +118,21 @@ class Worker:
 
     def run_forever(self, poll_interval: float = 0.5, max_batches: int | None = None):
         n = 0
-        while max_batches is None or n < max_batches:
-            handled = self.process_batch()
-            if handled == 0:
-                time.sleep(poll_interval)
-            n += 1
+        try:
+            while max_batches is None or n < max_batches:
+                handled = self.process_batch()
+                if handled == 0:
+                    time.sleep(poll_interval)
+                n += 1
+        finally:
+            # clean shutdown (bounded run, SIGINT): drop our consumer
+            # row so /health/check doesn't report a dead node for an
+            # hour after every routine restart.  A crash skips this and
+            # stays visible — that's the intended crash signal.
+            try:
+                self.queue.deregister_consumer(self.name)
+            except Exception:
+                pass  # shutdown must not fail on a dead state endpoint
 
 
 def main(argv=None):

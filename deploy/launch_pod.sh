@@ -49,11 +49,20 @@ if [ -z "${ALIGNER_STATE_TOKEN:-}" ] && [ "$NUM_HOSTS" -gt 1 ]; then
   fi
 fi
 
+# Single-host launches don't need the state endpoint on the network at
+# all: without a token it binds loopback only (workers on this host
+# reach it via 127.0.0.1), so the unauthenticated surface never faces
+# the network regardless of host count.
+STATE_BIND="0.0.0.0"
+if [ "$NUM_HOSTS" = "1" ] && [ -z "${ALIGNER_STATE_TOKEN:-}" ]; then
+  STATE_BIND="127.0.0.1"
+fi
+
 if [ "$HOST_INDEX" = "0" ]; then
   export ALIGNER_DB="${ALIGNER_DB:-/srv/aligner/aligner.db}"
   mkdir -p "$(dirname "$ALIGNER_DB")"
   python -m aligner_tpu.service.netstate \
-    --host 0.0.0.0 --port "$STATE_PORT" --db "$ALIGNER_DB" &
+    --host "$STATE_BIND" --port "$STATE_PORT" --db "$ALIGNER_DB" &
   # wait for the state endpoint before starting consumers
   python - "$STATE_PORT" <<'PY'
 import sys, time, urllib.request

@@ -355,3 +355,40 @@ def test_two_workers_compete(svc):
     for h in resp["hashes"]:
         assert store.get_percentage_by_hash(h) == 100.0
     assert _health_node(disp.health_check(), "w1")["status"] is True
+
+
+def test_post_promotion_redelivery_is_noop(svc):
+    """A redelivery landing AFTER promotion (promotion deleted the
+    subtask rows and their source_keys) must not orphan a subtask into
+    the DONE task — the percentage must stay 100."""
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    h = resp["hashes"][0]
+    mat = np.zeros((24, 24))
+    volume = REQ["matricesVolumeValue"]
+    for i in range(volume):
+        store.insert_align_subtask(h, float(i), mat, "Q", "T",
+                                   source_key=str(i))
+    assert store.promote_if_complete(h)
+    # late redelivery of job 0 (its source_key row was deleted with the
+    # other subtasks at promotion)
+    store.insert_align_subtask(h, 0.0, mat, "Q", "T", source_key="0")
+    assert store.get_percentage_by_hash(h) == 0.0  # no orphan rows
+    tid = store.get_task_id_by_hash(h)
+    assert store.get_result_matrix_by_task_id(tid) is not None
+    snap = disp.progress_snapshot([h])
+    assert snap["progress"][h] == 100.0  # DONE task reports complete
+
+
+def test_worker_deregisters_on_clean_shutdown(svc):
+    """A bounded (clean-exit) worker run removes its consumer row, so
+    /health/check doesn't report a dead node for the retention hour;
+    a still-registered consumer remains visible."""
+    disp, store, queue = svc
+    w = Worker(store, queue, name="short-lived", batch=4, backend="xla")
+    lingering = queue.register_consumer("aligner.jobs.group", "crashed-one")
+    w.run_forever(poll_interval=0.0, max_batches=1)
+    names = [m["name"] for m in
+             queue.group_member_stats("aligner.jobs.group")]
+    assert "short-lived" not in names
+    assert lingering in names
