@@ -671,9 +671,9 @@ def local_max_score(
 
     Runs the native streaming fill in O(tn) memory at any size (the
     local fill is serial per SURVEY §2.3.3 — batches, not wavefronts,
-    are LOCAL mode's parallel axis); falls back to the materializing
-    host engine when the native runtime is unavailable and the plane
-    fits."""
+    are LOCAL mode's parallel axis); without the native runtime it
+    falls back to the device scores-only fill (same outputs, no plane,
+    any size)."""
     from . import native
     from .ops import wavefront as _wf
 
@@ -686,14 +686,15 @@ def local_max_score(
             q, t, np.asarray(matrix), del_, ext
         )
         return f, (my, mx)
-    if len(q) * len(t) > _wf.DIRECT_PLANE_CELLS:
-        raise ValidationError(
-            "local_max_score on a huge pair requires the native "
-            "runtime (ALIGNER_NO_NATIVE unset and a working g++)"
-        )
-    plane, _ = oracle.fill_local(q, t, np.asarray(matrix), del_, ext)
-    my, mx = oracle.argmax_first_rowmajor(plane)
-    return float(plane[my, mx]), (int(my), int(mx))
+    # no native runtime: the batched scores-only fill returns exactly
+    # (fmax, argmax) without materializing a plane — O(C) live state in
+    # the scan and ~1000x the Python oracle's cell rate, so even pairs
+    # past the direct-plane budget stay practical
+    res = batch_align(
+        [q], [t], np.asarray(matrix), del_, ext, mode="local",
+        alphabet=alphabet, with_alignments=False,
+    )
+    return float(res.fmax[0]), (int(res.fy[0]), int(res.fx[0]))
 
 
 def align_local(
@@ -789,7 +790,14 @@ def align_pwm(
     backend: str | None = None,
     dtype=None,
 ) -> AlignmentResult:
-    """Query-vs-PWM local alignment (pwm/mod.rs:29-126)."""
+    """Query-vs-PWM local alignment (pwm/mod.rs:29-126).
+
+    Unlike the pair aligners, an empty query is NOT an error: the
+    reference's PWM traceback walks from the all-zero plane's (0, 0)
+    argmax and returns an empty ``PWMAlignment`` with coords
+    ((1, 1), (1, 1)) and f = 0 (pwm/mod.rs:105-125) — this function
+    reproduces that, deliberately diverging from align_global/
+    align_local's ResultIsEmpty."""
     pwm = np.asarray(pwm)
     if pwm.shape[0] != 4:
         raise MatrixShapeError(f"PWM must have 4 rows, got {pwm.shape[0]}")
@@ -844,6 +852,24 @@ def batch_align(
     retire problems without changing the compiled shape.  Skipped /
     padded entries return score 0 and (with alignments) ``None``.
     """
+    def _pair_result(mode, walk_q, walk_t, q_b, t_b, ql_b, tl_b,
+                     sy_b, sx_b, end_y_b, end_x_b, fmax_b, alphabet):
+        # one definition of the seed-append/coords/f assembly for BOTH
+        # walkers (device stream decode and native batch walk) so the
+        # two cannot drift; the seeded character pair lands *after* the
+        # reversed walk (simple/mod.rs:99-106/213-218)
+        if mode == "global":
+            qa = np.append(walk_q, np.int16(q_b[-1]))
+            ta = np.append(walk_t, np.int16(t_b[-1]))
+            coords = ((1, ql_b), (1, tl_b))
+            f = 0.0
+        else:
+            qa = np.append(walk_q, np.int16(q_b[sx_b - 1]))
+            ta = np.append(walk_t, np.int16(t_b[sy_b - 1]))
+            coords = ((end_x_b + 1, sx_b + 1), (end_y_b + 1, sy_b + 1))
+            f = fmax_b
+        return AlignmentResult(Alignment(qa, ta, coords, f, alphabet))
+
     qs = [_encode(s, alphabet) for s in queries]
     ts = [_encode(s, alphabet) for s in targets]
     if len(qs) != len(ts):
@@ -875,8 +901,14 @@ def batch_align(
         with_alignments
         and os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
     )
+    # global mode: the pallas kernel captures the end score H[tlen,qlen]
+    # inside the argmax machinery, so honoring track_argmax=False there
+    # would return end=0 on pallas but real scores on xla — force
+    # tracking instead of silently diverging between backends
     filled = _fill(q, ql, t, tl, matrix, del_, ext, mode, with_alignments,
-                   backend, dtype, track_argmax=track_argmax or with_alignments,
+                   backend, dtype,
+                   track_argmax=(track_argmax or with_alignments
+                                 or mode == "global"),
                    device_dirs=use_dev)
     if use_dev:
         res, dirs_dev, fmt = filled
@@ -890,6 +922,22 @@ def batch_align(
     skip_mask = (
         np.zeros(n_real, bool) if skip is None else np.asarray(skip, bool)[:n_real]
     )
+    # empty sequences cannot seed a traceback (the q[-1] seed char);
+    # reject up front like the single-pair APIs instead of an internal
+    # IndexError after the device fill
+    if (((ql[:n_real] == 0) | (tl[:n_real] == 0)) & ~skip_mask).any():
+        raise ResultIsEmpty("empty sequence")
+    fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
+    if mode == "local":
+        fy_np = np.asarray(res.fy, np.int32)
+        fx_np = np.asarray(res.fx, np.int32)
+        # a problem with no positive-scoring cell has no alignment (the
+        # reference would panic on its 0-index seed, simple/mod.rs:213-218;
+        # the single-pair API raises ResultIsEmpty): return None for JUST
+        # that problem instead of failing the whole batch
+        skip_mask = skip_mask | (
+            ((fy_np[:n_real] == 0) | (fx_np[:n_real] == 0)) & ~skip_mask
+        )
     if use_dev:
         from .ops.device_walk import decode_pair, walk_batch
 
@@ -897,17 +945,11 @@ def batch_align(
             sy_full = tl.astype(np.int32)
             sx_full = ql.astype(np.int32)
         else:
-            sy_full = np.asarray(res.fy, np.int32)
-            sx_full = np.asarray(res.fx, np.int32)
-            bad = ((sy_full[:n_real] == 0) | (sx_full[:n_real] == 0)) & ~skip_mask
-            if bad.any():
-                raise ResultIsEmpty(
-                    "local alignment has no positive-scoring cell"
-                )
+            sy_full = fy_np
+            sx_full = fx_np
         steps, lens, ey, ex = walk_batch(
             dirs_dev, fmt, mode, sy_full, sx_full, t.shape[1], q.shape[1]
         )
-        fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
         out = []
         for b in range(n_real):
             if skip_mask[b]:
@@ -915,22 +957,11 @@ def batch_align(
                 continue
             qa_w, ta_w = decode_pair(steps, lens, sy_full, sx_full, b,
                                      q[b], t[b])
-            # the seeded character pair lands *after* the reversed walk
-            # (simple/mod.rs:99-106/213-218)
-            if mode == "global":
-                qa = np.append(qa_w, np.int16(qs[b][-1]))
-                ta = np.append(ta_w, np.int16(ts[b][-1]))
-                coords = ((1, int(ql[b])), (1, int(tl[b])))
-                f = 0.0
-            else:
-                qa = np.append(qa_w, np.int16(qs[b][sx_full[b] - 1]))
-                ta = np.append(ta_w, np.int16(ts[b][sy_full[b] - 1]))
-                coords = (
-                    (int(ex[b]) + 1, int(sx_full[b]) + 1),
-                    (int(ey[b]) + 1, int(sy_full[b]) + 1),
-                )
-                f = float(fmax_np[b])
-            out.append(AlignmentResult(Alignment(qa, ta, coords, f, alphabet)))
+            out.append(_pair_result(
+                mode, qa_w, ta_w, qs[b], ts[b], int(ql[b]), int(tl[b]),
+                int(sy_full[b]), int(sx_full[b]), int(ey[b]), int(ex[b]),
+                float(fmax_np[b]), alphabet,
+            ))
         return out
     dirs = np.asarray(res.dirs)[:n_real]
     from . import native
@@ -943,37 +974,21 @@ def batch_align(
             sy = tl[:n_real].astype(np.int64)
             sx = ql[:n_real].astype(np.int64)
         else:
-            fy = np.asarray(res.fy)[:n_real]
-            fx = np.asarray(res.fx)[:n_real]
-            if ((fy == 0) | (fx == 0)).any():
-                raise ResultIsEmpty(
-                    "local alignment has no positive-scoring cell"
-                )
-            sy, sx = fy.astype(np.int64), fx.astype(np.int64)
+            sy = fy_np[:n_real].astype(np.int64)
+            sx = fx_np[:n_real].astype(np.int64)
         q8 = q[:n_real].astype(np.int8)
         t8 = t[:n_real].astype(np.int8)
         walks_q, walks_t, end_y, end_x = native.traceback_batch(
             dirs, sy, sx, q8, t8, pwm_mode=False
         )
-        out = []
-        for b in range(len(qs)):
-            # the seeded character pair lands *after* the reversed walk
-            # (simple/mod.rs:99-106/213-218)
-            if mode == "global":
-                qa = np.append(walks_q[b], np.int16(qs[b][-1]))
-                ta = np.append(walks_t[b], np.int16(ts[b][-1]))
-                coords = ((1, int(ql[b])), (1, int(tl[b])))
-                f = 0.0
-            else:
-                qa = np.append(walks_q[b], np.int16(qs[b][sx[b] - 1]))
-                ta = np.append(walks_t[b], np.int16(ts[b][sy[b] - 1]))
-                coords = (
-                    (int(end_x[b]) + 1, int(sx[b]) + 1),
-                    (int(end_y[b]) + 1, int(sy[b]) + 1),
-                )
-                f = float(res.fmax[b])
-            out.append(AlignmentResult(Alignment(qa, ta, coords, f, alphabet)))
-        return out
+        return [
+            _pair_result(
+                mode, walks_q[b], walks_t[b], qs[b], ts[b],
+                int(ql[b]), int(tl[b]), int(sy[b]), int(sx[b]),
+                int(end_y[b]), int(end_x[b]), float(fmax_np[b]), alphabet,
+            )
+            for b in range(len(qs))
+        ]
 
     out = []
     for b in range(n_real):
@@ -986,9 +1001,9 @@ def batch_align(
             f = 0.0
         else:
             qa, ta, coords = traceback_local(
-                d, int(res.fy[b]), int(res.fx[b]), qs[b], ts[b]
+                d, int(fy_np[b]), int(fx_np[b]), qs[b], ts[b]
             )
-            f = float(res.fmax[b])
+            f = float(fmax_np[b])
         out.append(AlignmentResult(Alignment(qa, ta, coords, f, alphabet)))
     return out
 
@@ -1059,13 +1074,16 @@ def batch_align_pwm(
             )
         return out
     dirs = np.asarray(res.dirs)
+    fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
+    fy_np = np.asarray(res.fy)
+    fx_np = np.asarray(res.fx)
     out = []
     for b in range(len(qs)):
         d = dirs[b, : ql[b] + 1, : width + 1]
-        qa, numbered, coords = traceback_pwm(d, int(res.fy[b]), int(res.fx[b]), qs[b])
+        qa, numbered, coords = traceback_pwm(d, int(fy_np[b]), int(fx_np[b]), qs[b])
         out.append(
             AlignmentResult(
-                PWMAlignment(numbered, qa, width, coords, float(res.fmax[b]), alphabet)
+                PWMAlignment(numbered, qa, width, coords, float(fmax_np[b]), alphabet)
             )
         )
     return out

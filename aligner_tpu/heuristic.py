@@ -141,6 +141,12 @@ def heuristic_align_population(
     candidate; per-candidate results are exactly what
     :func:`heuristic_align` would produce for that starting matrix.
     Returns one AlignmentResult per input matrix (with ``.matrix`` set).
+
+    A member whose transformed matrix admits NO positive-scoring cell
+    has no local alignment; its entry is ``None`` (the reference would
+    panic the whole process on the 0-index traceback seed there,
+    simple/mod.rs:213-218 — one dead candidate must not take down the
+    other M-1).
     """
     if heuristics is None:
         raise MissingArgument("heuristic aligner requires Heuristics")
@@ -162,6 +168,7 @@ def heuristic_align_population(
     # (zero-length — effectively free) instead of shrinking the batch, so
     # every iteration reuses one compiled kernel
     done = np.zeros(M, bool)
+    dead = np.zeros(M, bool)  # members whose matrix admits no alignment
 
     from .align import _encode
 
@@ -178,6 +185,12 @@ def heuristic_align_population(
         )
         for m, res in enumerate(batch):
             if res is None:
+                if not done[m]:
+                    # no positive-scoring cell under the current
+                    # matrix: dead member (docstring) — retire it so it
+                    # doesn't force every remaining iteration
+                    dead[m] = True
+                    done[m] = True
                 continue
             if res.alignment.f > max_f[m]:
                 max_f[m] = res.alignment.f
@@ -190,11 +203,13 @@ def heuristic_align_population(
                 results[m] = res
                 done[m] = True
     for m in range(M):  # hit max_iters: attach current state
-        if results[m] is None:
+        if results[m] is None and not dead[m]:
             res = batch_align(
                 [q], [t], transformed[m][None], del_, ext, mode="local",
                 alphabet=alphabet, backend=backend, with_alignments=True,
             )[0]
+            if res is None:
+                continue  # dead member (docstring): stays None
             res.matrix = transformed[m].copy()
             results[m] = res
     return results  # type: ignore[return-value]

@@ -93,6 +93,18 @@ class Worker:
             )
             done_ids = []
             for (job_id, _), res in zip(items, results):
+                if res is None:
+                    # this candidate matrix admits no alignment (see
+                    # heuristic_align_population); retrying can never
+                    # succeed, so commit the job away instead of
+                    # redelivering it forever (the reference node would
+                    # panic and lose the message the same way)
+                    log.warning(
+                        "job %s: matrix admits no alignment; dropping",
+                        job_id,
+                    )
+                    done_ids.append(job_id)
+                    continue
                 qa, ta = res.alignment.render()
                 # source_key = queue job id: a lease-expiry redelivery of
                 # this job (crash between store and commit) re-inserts

@@ -253,3 +253,90 @@ def test_sharded_route_uses_local_data_mesh(monkeypatch):
     at.global_end_score(q, t, at.blosum62(), 11.0, 2.0)
     assert len(seen) == 2
     assert all(m is align_mod._data_mesh() for m in seen)
+
+
+def test_batch_global_end_scores_argmax_off(rng):
+    """track_argmax=False must not zero global end scores on any
+    backend (the pallas kernel captures end inside the argmax
+    machinery; batch_align forces tracking for global mode)."""
+    m = np.asarray(at.blosum62())
+    qs = [rng.integers(0, 24, 12).astype(np.int8) for _ in range(5)]
+    ts = [rng.integers(0, 24, 15).astype(np.int8) for _ in range(5)]
+    rx = batch_align(qs, ts, m, 2.0, 1.0, mode="global", backend="xla",
+                     track_argmax=False)
+    rp = batch_align(qs, ts, m, 2.0, 1.0, mode="global", backend="pallas",
+                     track_argmax=False)
+    assert np.array_equal(rx.end, rp.end)
+    ref = align_global(qs[0], ts[0], m, 2.0, 1.0, backend="oracle",
+                       keep_planes=True)
+    assert rx.end[0] == ref.score[15, 12]
+
+
+def test_batch_local_dead_problem_returns_none(rng):
+    """One problem with no positive-scoring cell yields None for THAT
+    entry; the rest of the batch aligns normally (previously the whole
+    batch raised ResultIsEmpty)."""
+    good = np.asarray(at.blosum62())
+    bad = np.full((24, 24), -5.0)
+    mats = np.stack([good, bad, good])
+    q = rng.integers(0, 24, 20).astype(np.int8)
+    t = q.copy()
+    out = batch_align([q, q, q], [t, t, t], mats, 11.0, 2.0, mode="local",
+                      with_alignments=True)
+    assert out[1] is None
+    ref = align_local(q, t, good, 11.0, 2.0, backend="oracle")
+    for b in (0, 2):
+        assert out[b].alignment.f == ref.alignment.f
+        assert np.array_equal(out[b].alignment.query, ref.alignment.query)
+
+
+def test_batch_empty_sequence_raises_result_is_empty(rng):
+    m = np.asarray(at.blosum62())
+    q2 = rng.integers(0, 24, 4).astype(np.int8)
+    for mode in ("global", "local"):
+        with pytest.raises(at.ResultIsEmpty):
+            batch_align([np.zeros(0, np.int8), q2], [q2, q2], m, 1.0, 0.5,
+                        mode=mode, with_alignments=True)
+
+
+def test_local_max_score_without_native(rng, monkeypatch):
+    from aligner_tpu import native
+    from aligner_tpu.align import local_max_score
+
+    q = rng.integers(0, 24, 60).astype(np.int8)
+    t = rng.integers(0, 24, 80).astype(np.int8)
+    m = np.asarray(at.blosum62())
+    want = local_max_score(q, t, m, 11.0, 2.0)
+    monkeypatch.setattr(native, "available", lambda: False)
+    got = local_max_score(q, t, m, 11.0, 2.0)
+    assert got == want
+
+
+def test_align_pwm_empty_query_is_reference_empty():
+    """Reference parity: the PWM traceback on an empty query returns an
+    EMPTY alignment with coords ((1,1),(1,1)) and f=0
+    (pwm/mod.rs:105-125) — not ResultIsEmpty like the pair aligners."""
+    res = align_pwm(np.zeros(0, np.int8), np.ones((4, 3)), 1.0, 0.5)
+    assert res.alignment.f == 0.0
+    assert res.alignment.coords == ((1, 1), (1, 1))
+    assert len(res.alignment.query) == 0
+    assert len(res.alignment.numbered) == 0
+
+
+def test_heuristic_population_survives_dead_member(rng):
+    """A candidate matrix that admits no alignment returns None for its
+    slot without aborting the other members or forcing max_iters."""
+    from aligner_tpu.heuristic import Heuristics, heuristic_align_population
+
+    q = rng.integers(0, 24, 18).astype(np.int8)
+    t = q.copy()
+    good = rng.integers(-1, 2, (24, 24)).astype(np.float64)
+    h = Heuristics(kd=0.0, r_squared=22.0,
+                   frequencies=np.full(24, 1.0 / 24))
+    # a strongly negative seed stays negative through transform_matrix
+    dead = np.full((24, 24), -60.0)
+    mats = np.stack([good, dead, good])
+    out = heuristic_align_population(q, t, mats, 4.0, 2.0, h,
+                                     max_iters=12)
+    assert out[0] is not None and out[2] is not None
+    assert out[0].alignment.f > 0

@@ -13,7 +13,6 @@ import pytest
 
 import aligner_tpu as at
 from aligner_tpu.align import batch_align, batch_align_pwm
-from aligner_tpu.errors import ResultIsEmpty
 
 
 def _rand_batch(rng, n, lo=1, hi=60, v=24, related=False):
@@ -101,15 +100,18 @@ def test_device_walk_pwm_matches_host(rng, monkeypatch, backend):
         assert a.alignment.f == b.alignment.f
 
 
-def test_device_walk_empty_local_raises(monkeypatch):
+def test_device_walk_empty_local_returns_none(monkeypatch):
+    """A local problem with no positive-scoring cell yields None for
+    that entry (not a batch-wide ResultIsEmpty), identically on the
+    device and host walk paths."""
     m = np.full((24, 24), -5.0)
     qs = [np.arange(8, dtype=np.int8)]
     ts = [np.arange(8, dtype=np.int8)[::-1].copy()]
     for flag in ("1", "0"):
         monkeypatch.setenv("ALIGNER_DEVICE_WALK", flag)
-        with pytest.raises(ResultIsEmpty):
-            batch_align(qs, ts, m, 11.0, 2.0, mode="local", backend="xla",
-                        with_alignments=True)
+        out = batch_align(qs, ts, m, 11.0, 2.0, mode="local",
+                          backend="xla", with_alignments=True)
+        assert out == [None]
 
 
 def test_device_walk_long_pairs(rng, monkeypatch):
