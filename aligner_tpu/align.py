@@ -82,6 +82,32 @@ def _pad_batch_rows(arrs, B: int, Bp: int):
     return out
 
 
+def _assemble_sharded_fill(outs, B, R_orig, backend, with_planes,
+                           device_dirs, unpack_args):
+    """Shared tail of the sharded fill paths (pair AND PWM): slice the
+    batch off the shard_map outputs, route device-dirs mode (planes
+    stay on device), or unpack the packed planes host-side.
+    ``unpack_args`` are forwarded to ``dirs_from_packed`` — the only
+    point where the pair and PWM variants differ."""
+    from .ops.scan_engine import FillResult
+
+    fmax, fy, fx, end = (o[:B] for o in outs[:4])
+    if with_planes and device_dirs:
+        res = FillResult(plane=None, dirs=None, fmax=fmax, fy=fy, fx=fx,
+                         end=end)
+        return res, outs[4][:B], "packed" if backend == "pallas" else "dense"
+    dirs = None
+    if with_planes:
+        if backend == "pallas":
+            from .ops.pallas_dp import dirs_from_packed
+
+            dirs = dirs_from_packed(np.asarray(outs[4])[:B], *unpack_args)
+            dirs = dirs[:, : R_orig + 1]  # drop the unroll padding rows
+        else:
+            dirs = np.asarray(outs[4])[:B]
+    return FillResult(plane=None, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
+
+
 def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
                   backend, dtype, track_argmax, ndev, device_dirs=False):
     """Data-sharded batched fill (scores-only or direction-plane mode).
@@ -100,7 +126,7 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from .ops.scan_engine import FillResult, fill_batch
+    from .ops.scan_engine import fill_batch
 
     mesh = _data_mesh()
     B = q.shape[0]
@@ -155,21 +181,10 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
         jnp.asarray(q, jnp.int32), jnp.asarray(ql, jnp.int32),
         jnp.asarray(t, jnp.int32), jnp.asarray(tl, jnp.int32), mat_arg,
     )
-    fmax, fy, fx, end = (o[:B] for o in outs[:4])
-    dirs = None
-    if with_planes and device_dirs:
-        res = FillResult(plane=None, dirs=None, fmax=fmax, fy=fy, fx=fx,
-                         end=end)
-        return res, outs[4][:B], "packed" if backend == "pallas" else "dense"
-    if with_planes:
-        if backend == "pallas":
-            from .ops.pallas_dp import dirs_from_packed
-
-            dirs = dirs_from_packed(np.asarray(outs[4])[:B], ql[:B], tl[:B], mode)
-            dirs = dirs[:, : R_orig + 1]  # drop the unroll padding rows
-        else:
-            dirs = np.asarray(outs[4])[:B]
-    return FillResult(plane=None, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
+    return _assemble_sharded_fill(
+        outs, B, R_orig, backend, with_planes, device_dirs,
+        (ql[:B], tl[:B], mode),
+    )
 
 
 def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
@@ -181,7 +196,7 @@ def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from .ops.scan_engine import FillResult, fill_pwm_batch
+    from .ops.scan_engine import fill_pwm_batch
 
     mesh = _data_mesh()
     B = q.shape[0]
@@ -228,24 +243,10 @@ def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
         jnp.asarray(q, jnp.int32), jnp.asarray(ql, jnp.int32),
         jnp.asarray(pwm, dtype),
     )
-    fmax, fy, fx, end = (o[:B] for o in outs[:4])
-    dirs = None
-    if with_planes and device_dirs:
-        res = FillResult(plane=None, dirs=None, fmax=fmax, fy=fy, fx=fx,
-                         end=end)
-        return res, outs[4][:B], "packed" if backend == "pallas" else "dense"
-    if with_planes:
-        if backend == "pallas":
-            from .ops.pallas_dp import dirs_from_packed
-
-            dirs = dirs_from_packed(
-                np.asarray(outs[4])[:B], np.full(B, W, np.int32), ql[:B],
-                "local",
-            )
-            dirs = dirs[:, : R_orig + 1]
-        else:
-            dirs = np.asarray(outs[4])[:B]
-    return FillResult(plane=None, dirs=dirs, fmax=fmax, fy=fy, fx=fx, end=end)
+    return _assemble_sharded_fill(
+        outs, B, R_orig, backend, with_planes, device_dirs,
+        (np.full(B, W, np.int32), ql[:B], "local"),
+    )
 
 
 def _encode(seq, alphabet: type[Alphabet]) -> np.ndarray:
