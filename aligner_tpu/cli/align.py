@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from .search import load_matrix
 
+    if args.dna and args.matrix in ("blosum62", "blosum50"):
+        raise ValidationError(
+            "--dna needs a 4x4 matrix file (-m PATH): DNA codes would "
+            "silently index the first 4 rows of a protein matrix"
+        )
     m = load_matrix(args.matrix)
     fn = align_global if args.global_ else align_local
     result = fn(

@@ -31,8 +31,10 @@ from ..repeat.engine import (
 
 def matrix_to_serde_json(m: np.ndarray) -> dict:
     """serde's ndarray JSON layout, as written to matrices.json by the
-    reference (main.rs:60-64)."""
-    return {"v": 1, "dim": list(m.shape), "data": [float(v) for v in m.ravel()]}
+    reference (main.rs:60-64) — the shared service codec."""
+    from ..service.models import matrix_to_serde_dict
+
+    return matrix_to_serde_dict(m)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -83,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.input is None:
+        if args.csv is not None:
+            ap.error("--csv requires --input (csv mode masks known "
+                     "repeats out of the input FASTA, cmd/mod.rs:90-98)")
         result = run_testing_cmd(opts, rng)
     elif args.csv is not None:
         result = run_csv_cmd(opts, args.input, args.csv, rng,

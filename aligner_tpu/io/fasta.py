@@ -64,8 +64,15 @@ def write_fasta(records: list[FastaRecord], width: int = 75) -> str:
 
 def mask_intervals(seq: bytes, intervals: list[tuple[int, int]]) -> bytes:
     """Overwrite [left, right) intervals with ``N`` so DNA decoding drops
-    them (engine/sequences.rs:33-43, const N engine/sequences.rs:7)."""
+    them (engine/sequences.rs:33-43, const N engine/sequences.rs:7).
+
+    Intervals are clipped to the sequence: coords from a known.csv of a
+    different assembly may extend past the record end, and a bytearray
+    slice-assign would silently GROW the sequence there."""
     buf = bytearray(seq)
+    n = len(buf)
     for left, right in intervals:
+        left = max(min(int(left), n), 0)
+        right = max(min(int(right), n), left)
         buf[left:right] = b"N" * (right - left)
     return bytes(buf)

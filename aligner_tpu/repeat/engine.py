@@ -165,10 +165,19 @@ def calculate_cycle(
     for lo in range(0, len(keep), SCAN_CHUNK):
         idxs = keep[lo : lo + SCAN_CHUNK]
         qs = [seq[wins[i][0] : wins[i][1]] for i in idxs]
+        # pad the survivor batch to a fixed bucket: the survivor count
+        # changes every cycle, and each new batch shape is a fresh
+        # kernel compile (~60s on the remote-compile tunnel) — the
+        # CLAUDE.md constant-shapes invariant.  Power-of-two buckets
+        # keep the padding waste < 2x and the variant count log-bounded.
+        bucket = 1
+        while bucket < len(qs):
+            bucket *= 2
+        pad_n = bucket - len(qs)
         full = batch_align_pwm(
-            qs, matrix, opts.deletions, opts.extension,
+            qs + [qs[0]] * pad_n, matrix, opts.deletions, opts.extension,
             backend=opts.backend, with_alignments=True,
-        )
+        )[: len(qs)]
         for res, i in zip(full, idxs):
             j, border = wins[i]
             tasks.append(
@@ -282,11 +291,17 @@ def _tasks_from_json(items: list[dict]) -> list[Task]:
 
 
 def _matrix_to_json(matrix: np.ndarray) -> dict:
-    return {"dim": list(matrix.shape), "data": matrix.ravel().tolist()}
+    # the shared serde codec (service/models.py) — old checkpoints
+    # without the "v" field still load (the reader keys on dim/data)
+    from ..service.models import matrix_to_serde_dict
+
+    return matrix_to_serde_dict(matrix)
 
 
 def _matrix_from_json(obj: dict) -> np.ndarray:
-    return np.asarray(obj["data"]).reshape(obj["dim"])
+    from ..service.models import matrix_from_json
+
+    return matrix_from_json(obj)
 
 
 def _input_fingerprint(raw_seq: bytes, opts: SearchOptions) -> str:
@@ -349,9 +364,15 @@ def _load_checkpoint(path: str, head: str, fp: str | None = None):
 
     if not path or not os.path.exists(path):
         return None
-    with open(path) as fh:
-        state = json.load(fh)
-    if state.get("head") != head:
+    try:
+        with open(path) as fh:
+            state = json.load(fh)
+    except (OSError, ValueError) as e:
+        log.warning(
+            "checkpoint %s is unreadable (%s) — starting fresh", path, e
+        )
+        return None
+    if not isinstance(state, dict) or state.get("head") != head:
         return None
     saved_fp = state.get("fp")
     if fp is not None and saved_fp is not None and saved_fp != fp:
@@ -526,13 +547,23 @@ def run_exploring_cmd(
             _record_checkpoint_path(checkpoint, rec.head) if checkpoint else None
         )
         per_seq = perform_calculation_per_sequence(
-            opts, rec.seq, rec.head, rng, checkpoint=per_ckpt
+            opts, rec.seq, rec.head, _record_rng(rng), checkpoint=per_ckpt
         )
         if "direct" in per_seq:
             result[rec.head] = per_seq["direct"]
         if "inverse" in per_seq:
             result[f"{rec.head}-reversed"] = per_seq["inverse"]
     return result
+
+
+def _record_rng(rng: np.random.Generator) -> np.random.Generator:
+    """One independent stream per FASTA record, derived by a single
+    draw from the command-level generator.  A checkpoint-resumed record
+    consumes ZERO in-record draws (its scan is replayed from state), so
+    sharing one stream across records would shift every later record's
+    randomness depending on where a resume happened — with per-record
+    streams a seeded resumed run reproduces the uninterrupted one."""
+    return np.random.default_rng(int(rng.integers(0, 2**63)))
 
 
 def run_csv_cmd(
@@ -557,7 +588,7 @@ def run_csv_cmd(
             _record_checkpoint_path(checkpoint, rec.head) if checkpoint else None
         )
         per_seq = perform_calculation_per_sequence(
-            opts, seq, rec.head, rng, checkpoint=per_ckpt
+            opts, seq, rec.head, _record_rng(rng), checkpoint=per_ckpt
         )
         if "direct" in per_seq:
             result[rec.head] = per_seq["direct"]

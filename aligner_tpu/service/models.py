@@ -17,9 +17,16 @@ import numpy as np
 from ..errors import ValidationError
 
 
-def matrix_to_json(m: np.ndarray) -> str:
+def matrix_to_serde_dict(m: np.ndarray) -> dict:
+    """serde's ndarray JSON layout (``{"v":1,"dim","data"}``) — the ONE
+    matrix codec, shared by the service payloads/DB columns, the
+    repeat-search matrices.json, and the engine checkpoints."""
     m = np.asarray(m, dtype=np.float64)
-    return json.dumps({"v": 1, "dim": list(m.shape), "data": [float(v) for v in m.ravel()]})
+    return {"v": 1, "dim": list(m.shape), "data": [float(v) for v in m.ravel()]}
+
+
+def matrix_to_json(m: np.ndarray) -> str:
+    return json.dumps(matrix_to_serde_dict(m))
 
 
 def matrix_from_json(s: str | dict) -> np.ndarray:

@@ -224,11 +224,14 @@ def calculate_p_value(
     t = _encode(target, alphabet)
     rng = rng or np.random.default_rng()
 
-    # thread-quota quirk: 9 full quotas + one short by 1 (mod.rs:263-266)
-    quota = n_sequences // THREADS
-    counts = [quota] * THREADS
-    counts[5] = n_sequences - quota * (THREADS - 1) - 1
-    total = sum(counts)
+    if n_sequences < 2:
+        raise ValidationError(
+            "calculate_p_value needs n_sequences >= 2 — the fit runs "
+            "over n-1 shuffled alignments (statistics/mod.rs:263-266)"
+        )
+    # thread-quota quirk (9 full quotas + thread 5 short by 1,
+    # mod.rs:263-266) telescopes to exactly n - 1 shuffles for every n
+    total = n_sequences - 1
 
     shuffles = [shuffle_and_randomize_sequence(t, rng) for _ in range(total)]
     res = batch_align(

@@ -370,3 +370,43 @@ def test_checkpoint_rejects_different_input(tmp_path, rng):
         dict,
     )
     del res_raw, res_masked
+
+
+def test_seeded_resume_reproduces_uninterrupted_run(tmp_path, rng):
+    """Per-record rng streams: a run that resumes record 1 from its
+    checkpoint must produce the SAME results for record 2 as an
+    uninterrupted seeded run (a shared stream would shift record 2's
+    randomness by however many draws record 1 skipped)."""
+    from aligner_tpu.repeat.engine import run_exploring_cmd
+
+    def mk(n):
+        return "".join("ATCG"[c] for c in rng.integers(0, 4, n))
+
+    motif = mk(30)
+    fasta = tmp_path / "two.fasta"
+    fasta.write_text(
+        ">chrA\n" + (mk(80) + motif) * 4 + "\n"
+        ">chrB\n" + (mk(90) + motif) * 4 + "\n"
+    )
+    opts = SearchOptions(
+        repeat_length=24, query_offset=10, deletions=6.0, extension=2.0,
+        repeats=2, backend="xla",
+    )
+    ck1 = str(tmp_path / "a" / "ck.json")
+    ck2 = str(tmp_path / "b" / "ck.json")
+    os.makedirs(os.path.dirname(ck1)); os.makedirs(os.path.dirname(ck2))
+    full = run_exploring_cmd(opts, str(fasta),
+                             np.random.default_rng(77), checkpoint=ck1)
+    # run the same seed into ck2, wipe chrB's per-record checkpoint, and
+    # rerun: chrA replays from its checkpoint (zero draws), chrB re-runs
+    run_exploring_cmd(opts, str(fasta), np.random.default_rng(77),
+                      checkpoint=ck2)
+    from aligner_tpu.repeat.engine import _record_checkpoint_path
+    os.remove(_record_checkpoint_path(ck2, "chrB"))
+    resumed = run_exploring_cmd(opts, str(fasta),
+                                np.random.default_rng(77), checkpoint=ck2)
+    for key in full:
+        a = [(t.left_coord, t.right_coord, t.z) for t in full[key].tasks]
+        b = [(t.left_coord, t.right_coord, t.z) for t in resumed[key].tasks]
+        assert a == b, key
+        np.testing.assert_array_equal(full[key].matrix, resumed[key].matrix)
