@@ -23,6 +23,8 @@ import threading
 
 import numpy as np
 
+from .errors import ValidationError
+
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native", "aligner_native.cpp")
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
@@ -124,6 +126,20 @@ def available() -> bool:
     return _load() is not None
 
 
+def _check_codes(seq: np.ndarray, vol: int, what: str) -> None:
+    """The C fills index the matrix with raw codes and (by design) do
+    no bounds checks — a codec-legal BLANK=98/POS=99 that slipped into
+    a sequence would read far out of bounds (UB) instead of raising
+    like the oracle's fancy indexing does.  Validate at this single
+    chokepoint into the native engine."""
+    if len(seq) and int(seq.max()) >= vol:
+        raise ValidationError(
+            f"{what} contains code {int(seq.max())} outside the "
+            f"{vol}-symbol scoring alphabet (gap/special codes are not "
+            "alignable symbols)"
+        )
+
+
 def fill(q: np.ndarray, t: np.ndarray, matrix: np.ndarray,
          del_: float, ext: float, mode: str):
     """Exact scalar fill; returns (plane f64, dirs u8) like the oracle."""
@@ -132,12 +148,15 @@ def fill(q: np.ndarray, t: np.ndarray, matrix: np.ndarray,
     q = np.ascontiguousarray(q, np.int8)
     matrix = np.ascontiguousarray(matrix, np.float64)
     if mode == "pwm":
+        _check_codes(q, 4, "query")
         rows, cols = len(q), matrix.shape[1]
         plane = np.zeros((rows + 1, cols + 1), np.float64)
         dirs = np.full((rows + 1, cols + 1), 3, np.uint8)
         lib.an_fill_pwm(q, len(q), matrix, matrix.shape[1], del_, ext, plane, dirs)
         return plane, dirs
     t = np.ascontiguousarray(t, np.int8)
+    _check_codes(q, matrix.shape[1], "query")
+    _check_codes(t, matrix.shape[0], "target")
     rows, cols = len(t), len(q)
     plane = np.zeros((rows + 1, cols + 1), np.float64)
     dirs = np.full((rows + 1, cols + 1), 3, np.uint8)
@@ -205,6 +224,8 @@ def local_max_score_stream(q, t, matrix, del_: float, ext: float):
     q = np.ascontiguousarray(q, np.int8)
     t = np.ascontiguousarray(t, np.int8)
     matrix = np.ascontiguousarray(matrix, np.float64)
+    _check_codes(q, matrix.shape[1], "query")
+    _check_codes(t, matrix.shape[0], "target")
     qn, tn = len(q), len(t)
     cb = qn + 1  # no interior checkpoints: slot 0 only
     ck_cols = np.zeros((1, tn + 1), np.float64)
@@ -236,6 +257,8 @@ def align_local_stream(q, t, matrix, del_: float, ext: float,
     q = np.ascontiguousarray(q, np.int8)
     t = np.ascontiguousarray(t, np.int8)
     matrix = np.ascontiguousarray(matrix, np.float64)
+    _check_codes(q, matrix.shape[1], "query")
+    _check_codes(t, matrix.shape[0], "target")
     qn, tn = len(q), len(t)
     if qn == 0 or tn == 0:
         raise ResultIsEmpty("empty sequence")

@@ -25,10 +25,17 @@ from collections import defaultdict
 log = logging.getLogger("aligner_tpu")
 
 
+_LEVELS = {"DEBUG", "INFO", "WARNING", "WARN", "ERROR", "CRITICAL", "FATAL"}
+
+
 def configure_logging(level: str | None = None) -> None:
     lvl = (level or os.environ.get("ALIGNER_LOG", "warning")).upper()
+    # whitelist: a stray ALIGNER_LOG value must fall back to WARNING,
+    # not resolve to an arbitrary logging-module attribute
+    if lvl not in _LEVELS:
+        lvl = "WARNING"
     logging.basicConfig(
-        level=getattr(logging, lvl, logging.WARNING),
+        level=getattr(logging, lvl),
         format="%(asctime)s %(levelname)s %(name)s %(message)s",
     )
 

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..backend import on_tpu
+from ..errors import ValidationError
 from ..ops.scan_engine import fill_batch, fill_pwm_batch
 
 
@@ -45,6 +46,11 @@ def make_mesh(
     """
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if n > len(devs):
+        raise ValidationError(
+            f"make_mesh: {n} devices requested but only "
+            f"{len(devs)} visible"
+        )
     devs = devs[:n]
     m = 1
     for cand in range(int(np.sqrt(n)), 0, -1):

@@ -34,9 +34,10 @@ def length_buckets(
 ) -> list[np.ndarray]:
     """Group database indices into geometric length buckets.
 
-    Each bucket's padded width is at most ``growth``x its shortest member,
-    so padding waste is bounded; tiny buckets merge upward to keep launch
-    counts low.
+    Buckets below ``min_size`` may absorb longer members to keep launch
+    counts low, but the padded width never exceeds ``2·growth``x the
+    bucket's shortest member — a small bucket must not swallow one huge
+    sequence and pad everything to its length.
     """
     order = np.argsort(lengths)
     buckets: list[list[int]] = []
@@ -46,7 +47,9 @@ def length_buckets(
         ln = max(int(lengths[i]), 1)
         if cur_min is None:
             cur_min = ln
-        if ln > cur_min * growth and len(cur) >= min_size:
+        hard = ln > cur_min * growth * 2  # absolute width-ratio cap
+        soft = ln > cur_min * growth and len(cur) >= min_size
+        if cur and (hard or soft):
             buckets.append(cur)
             cur, cur_min = [], ln
         cur.append(int(i))
@@ -101,12 +104,25 @@ def search_database(
         for i in top
     ]
     if with_alignments:
-        results = batch_align(
-            [q] * len(hits), [db[h.index] for h in hits], matrix, del_, ext,
-            mode=mode, alphabet=alphabet, backend=backend, with_alignments=True,
-        )
-        for h, r in zip(hits, results):
-            h.coords = r.alignment.coords
-            h.query_aligned = r.alignment.query
-            h.target_aligned = r.alignment.target
+        # only hits that CAN align get a traceback: empty targets and
+        # local hits with no positive-scoring cell have none (the batch
+        # returns None for the latter) — such hits keep score-only form
+        # instead of aborting the whole search
+        alignable = [
+            h for h in hits
+            if len(db[h.index]) > 0 and (mode != "local" or h.score > 0)
+        ]
+        if alignable and len(q) > 0:
+            results = batch_align(
+                [q] * len(alignable), [db[h.index] for h in alignable],
+                matrix, del_, ext,
+                mode=mode, alphabet=alphabet, backend=backend,
+                with_alignments=True,
+            )
+            for h, r in zip(alignable, results):
+                if r is None:
+                    continue
+                h.coords = r.alignment.coords
+                h.query_aligned = r.alignment.query
+                h.target_aligned = r.alignment.target
     return hits

@@ -109,23 +109,30 @@ class _Handler(BaseHTTPRequestHandler):
             return
         length = int(self.headers.get("Content-Length", 0))
         try:
-            body = json.loads(self.rfile.read(length))
-            target = body["target"]
-            method = body["method"]
-            args = _decode(body.get("args", []))
-            kwargs = _decode(body.get("kwargs", {}))
-            obj, allowed = self.server.targets[target]
-            if method not in allowed:
-                raise ValidationError(f"method {method!r} not exposed")
-            result = getattr(obj, method)(*args, **kwargs)
-            payload = {"ok": True, "result": _encode(result)}
-            status = 200
+            # request decoding only — a KeyError from INSIDE the invoked
+            # method must not be misreported as a malformed request
+            # (HTTP 400 makes the client's urlopen raise before the
+            # structured error is ever parsed)
+            try:
+                body = json.loads(self.rfile.read(length))
+                target = body["target"]
+                method = body["method"]
+                args = _decode(body.get("args", []))
+                kwargs = _decode(body.get("kwargs", {}))
+                obj, allowed = self.server.targets[target]
+            except (KeyError, ValueError) as e:
+                payload = {"ok": False, "error": f"bad request: {e}",
+                           "kind": "bad"}
+                status = 400
+            else:
+                if method not in allowed:
+                    raise ValidationError(f"method {method!r} not exposed")
+                result = getattr(obj, method)(*args, **kwargs)
+                payload = {"ok": True, "result": _encode(result)}
+                status = 200
         except ValidationError as e:
             payload = {"ok": False, "error": str(e), "kind": "validation"}
             status = 200
-        except KeyError as e:
-            payload = {"ok": False, "error": f"bad request: {e}", "kind": "bad"}
-            status = 400
         except Exception as e:  # surfaced to the caller, server stays up
             payload = {"ok": False, "error": f"{type(e).__name__}: {e}",
                        "kind": "error"}
@@ -222,22 +229,29 @@ class _RemoteProxy:
 
 class RemoteStore(_RemoteProxy):
     _target = "store"
+    _methods_cache: frozenset[str] | None = None
 
     @property
     def _methods(self):
-        from .store import Store
+        # cached per class: every RPC attribute access goes through here
+        if RemoteStore._methods_cache is None:
+            from .store import Store
 
-        return _method_names(Store)
+            RemoteStore._methods_cache = _method_names(Store)
+        return RemoteStore._methods_cache
 
 
 class RemoteQueue(_RemoteProxy):
     _target = "queue"
+    _methods_cache: frozenset[str] | None = None
 
     @property
     def _methods(self):
-        from .queue import JobQueue
+        if RemoteQueue._methods_cache is None:
+            from .queue import JobQueue
 
-        return _method_names(JobQueue)
+            RemoteQueue._methods_cache = _method_names(JobQueue)
+        return RemoteQueue._methods_cache
 
 
 def is_url(path: str | None) -> bool:

@@ -340,3 +340,41 @@ def test_heuristic_population_survives_dead_member(rng):
                                      max_iters=12)
     assert out[0] is not None and out[2] is not None
     assert out[0].alignment.f > 0
+
+
+def test_search_database_survives_dead_hits(rng):
+    """Top-k hits with no positive-scoring cell (or empty targets) keep
+    score-only form instead of crashing the whole search (review r3)."""
+    from aligner_tpu.search import search_database
+
+    m = np.asarray(at.blosum62())
+    q = "AAAA"
+    hits = search_database(q, ["WWWW", "WWWW", "AAAA"], m, 11.0, 2.0, k=3)
+    assert hits[0].score > 0 and hits[0].query_aligned is not None
+    assert all(h.coords is None for h in hits if h.score <= 0)
+
+
+def test_native_rejects_special_codes():
+    """Codec-legal BLANK/POS codes are not alignable symbols: the
+    native engine must raise, not read the matrix out of bounds."""
+    from aligner_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    m = np.asarray(at.blosum62())
+    q = at.Protein.encode("A_AR")  # '_' -> BLANK=98
+    t = at.Protein.encode("AARA")
+    with pytest.raises(at.ValidationError):
+        native.fill(q, t, m, 11.0, 2.0, "local")
+    with pytest.raises(at.ValidationError):
+        native.local_max_score_stream(q, t, m, 11.0, 2.0)
+
+
+def test_length_buckets_width_ratio_capped(rng):
+    from aligner_tpu.search import length_buckets
+
+    lengths = [100] * 63 + [50_000]
+    buckets = length_buckets(lengths, growth=1.3, min_size=64)
+    for b in buckets:
+        ls = [max(lengths[i], 1) for i in b]
+        assert max(ls) <= min(ls) * 1.3 * 2
