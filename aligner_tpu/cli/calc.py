@@ -14,6 +14,8 @@ import sys
 
 import numpy as np
 
+from ..alphabet import Protein
+from ..observability import log
 from ..service.store import Store, open_store
 from ..statistics import calculate_p_value
 
@@ -25,11 +27,23 @@ def run_once(store: Store, *, rng=None, backend=None, n_sequences=5000) -> int:
         if row is None:
             continue  # not promoted yet
         query, target, f_value, del_value, matrix = row
-        p = calculate_p_value(
-            query, target, f_value, del_value, del_value, matrix,
-            rng=rng or np.random.default_rng(), backend=backend,
-            n_sequences=n_sequences,
-        )
+        try:
+            # strict=False matches how the dispatcher/worker treated
+            # these sequences (unknown characters skipped) — strict
+            # encoding would crash the whole backfill on one task the
+            # rest of the pipeline accepted, and the same task would
+            # starve every later one on every pass
+            p = calculate_p_value(
+                Protein.encode(query, strict=False),
+                Protein.encode(target, strict=False),
+                f_value, del_value, del_value, matrix,
+                rng=rng or np.random.default_rng(), backend=backend,
+                n_sequences=n_sequences,
+            )
+        except Exception as e:
+            log.warning("task %s: p-value failed (%s: %s); skipping",
+                        task_id, type(e).__name__, e)
+            continue
         store.add_p_value_by_id(p, task_id)
         done += 1
     return done

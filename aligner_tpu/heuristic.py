@@ -23,7 +23,7 @@ import numpy as np
 
 from .align import align_local, align_pwm, batch_align
 from .alphabet import DNA, Alphabet, Protein
-from .errors import MissingArgument
+from .errors import MissingArgument, ValidationError
 from .matrices import transform_matrix
 from .result import AlignmentResult
 
@@ -65,10 +65,13 @@ def heuristic_align(
     transformed = transform_matrix(
         matrix, heuristics.kd, r_squared, heuristics.frequencies
     )
+    if max_iters < 1:
+        raise ValidationError("max_iters must be >= 1")
     max_f = 0.0
     for _ in range(max_iters):
+        current = transformed  # the matrix THIS iteration aligns with
         result = align_local(
-            query, target, transformed, del_, ext,
+            query, target, current, del_, ext,
             alphabet=alphabet, backend=backend,
         )
         if result.alignment.f > max_f:
@@ -78,9 +81,11 @@ def heuristic_align(
                 heuristics.kd, r_squared, heuristics.frequencies,
             )
         else:
-            result.matrix = transformed
+            result.matrix = current
             return result
-    result.matrix = transformed
+    # max_iters exhausted while still improving: attach the matrix that
+    # PRODUCED the returned alignment (not the freshly transformed one)
+    result.matrix = current
     return result
 
 
@@ -105,10 +110,13 @@ def heuristic_align_pwm(
     transformed = transform_matrix(
         pwm, heuristics.kd, heuristics.r_squared, heuristics.frequencies
     )
+    if max_iters < 1:
+        raise ValidationError("max_iters must be >= 1")
     max_f = 0.0
     for _ in range(max_iters):
+        current = transformed
         result = align_pwm(
-            query, transformed, del_, ext, alphabet=alphabet, backend=backend
+            query, current, del_, ext, alphabet=alphabet, backend=backend
         )
         if result.alignment.f > max_f:
             max_f = result.alignment.f
@@ -117,9 +125,9 @@ def heuristic_align_pwm(
                 heuristics.kd, heuristics.r_squared, heuristics.frequencies,
             )
         else:
-            result.matrix = transformed
+            result.matrix = current
             return result
-    result.matrix = transformed
+    result.matrix = current
     return result
 
 
@@ -138,9 +146,14 @@ def heuristic_align_population(
     """Run the heuristic loop for a whole matrix population at once.
 
     One batched kernel launch per iteration covers every still-improving
-    candidate; per-candidate results are exactly what
-    :func:`heuristic_align` would produce for that starting matrix.
-    Returns one AlignmentResult per input matrix (with ``.matrix`` set).
+    candidate, following :func:`heuristic_align`'s iteration rule per
+    member.  NOTE the engines differ at the margin: this path always
+    runs the batched device fill (default dtype), while single-pair
+    heuristic_align may route small problems to the f64 host engine —
+    heuristic-transformed matrices are non-integral, so f32 ties can
+    resolve differently there (pass ``dtype=jnp.float64`` on CPU for
+    strict agreement).  Returns one AlignmentResult per input matrix
+    (with ``.matrix`` set).
 
     A member whose transformed matrix admits NO positive-scoring cell
     has no local alignment; its entry is ``None`` (the reference would
@@ -202,12 +215,20 @@ def heuristic_align_population(
                 res.matrix = transformed[m].copy()
                 results[m] = res
                 done[m] = True
-    for m in range(M):  # hit max_iters: attach current state
-        if results[m] is None and not dead[m]:
-            res = batch_align(
-                [q], [t], transformed[m][None], del_, ext, mode="local",
-                alphabet=alphabet, backend=backend, with_alignments=True,
-            )[0]
+    pending = np.array(
+        [results[m] is None and not dead[m] for m in range(M)], bool
+    )
+    if pending.any():
+        # hit max_iters while still improving: attach current state via
+        # ONE more masked M-wide launch (constant compiled shape —
+        # per-member batch-1 launches would each compile a fresh kernel)
+        batch = batch_align(
+            [q] * M, [t] * M, transformed, del_, ext, mode="local",
+            alphabet=alphabet, backend=backend, with_alignments=True,
+            skip=~pending,
+        )
+        for m in np.flatnonzero(pending):
+            res = batch[m]
             if res is None:
                 continue  # dead member (docstring): stays None
             res.matrix = transformed[m].copy()

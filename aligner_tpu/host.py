@@ -15,7 +15,8 @@ import numpy as np
 
 from . import native, oracle
 from .errors import MatrixShapeError, ResultIsEmpty
-from .oracle import OracleResult, _walk, argmax_first_rowmajor
+from .oracle import OracleResult, argmax_first_rowmajor
+from .traceback import traceback_global, traceback_local, traceback_pwm
 
 
 def align_local(q, t, matrix, del_: float, ext: float) -> OracleResult:
@@ -25,18 +26,12 @@ def align_local(q, t, matrix, del_: float, ext: float) -> OracleResult:
         return oracle.align_local(q, t, matrix, del_, ext)
     plane, dirs = native.fill(q, t, matrix, del_, ext, "local")
     my, mx = native.argmax_first_rowmajor(plane)
-    if my == 0 or mx == 0:
-        raise ResultIsEmpty("local alignment has no positive-scoring cell")
-    qa = [int(q[mx - 1])]
-    ta = [int(t[my - 1])]
-    cy, cx = _walk(dirs, my, mx, q, t, qa, ta, pwm_mode=False)
-    qa.reverse()
-    ta.reverse()
+    # traceback.py holds the ONE walk-assembly definition (seeding,
+    # coords, empty-result guard) shared with the device-plane paths
+    qa, ta, coords = traceback_local(dirs, my, mx, q, t)
     return OracleResult(
         score=plane, directions=dirs,
-        query_aligned=np.array(qa, dtype=np.int16),
-        target_aligned=np.array(ta, dtype=np.int16),
-        coords=((cx + 1, mx + 1), (cy + 1, my + 1)),
+        query_aligned=qa, target_aligned=ta, coords=coords,
         f=float(plane.max()),
     )
 
@@ -47,16 +42,10 @@ def align_global(q, t, matrix, del_: float, ext: float) -> OracleResult:
     if not native.available():
         return oracle.align_global(q, t, matrix, del_, ext)
     plane, dirs = native.fill(q, t, matrix, del_, ext, "global")
-    qa = [int(q[-1])]
-    ta = [int(t[-1])]
-    _walk(dirs, len(t), len(q), q, t, qa, ta, pwm_mode=False)
-    qa.reverse()
-    ta.reverse()
+    qa, ta, coords = traceback_global(dirs, q, t)
     return OracleResult(
         score=plane, directions=dirs,
-        query_aligned=np.array(qa, dtype=np.int16),
-        target_aligned=np.array(ta, dtype=np.int16),
-        coords=((1, len(q)), (1, len(t))),
+        query_aligned=qa, target_aligned=ta, coords=coords,
         f=0.0,
     )
 
@@ -69,15 +58,9 @@ def align_pwm(q, pwm, del_: float, ext: float) -> OracleResult:
         return oracle.align_pwm(q, pwm, del_, ext)
     plane, dirs = native.fill(q, None, pwm, del_, ext, "pwm")
     my, mx = argmax_first_rowmajor(plane)
-    qa: list[int] = []
-    ta: list[int] = []
-    cy, cx = _walk(dirs, my, mx, q, None, qa, ta, pwm_mode=True)
-    qa.reverse()
-    ta.reverse()
+    qa, numbered, coords = traceback_pwm(dirs, my, mx, q)
     return OracleResult(
         score=plane, directions=dirs,
-        query_aligned=np.array(qa, dtype=np.int16),
-        target_aligned=np.array(ta, dtype=np.int16),
-        coords=((cx + 1, mx + 1), (cy + 1, my + 1)),
+        query_aligned=qa, target_aligned=numbered, coords=coords,
         f=float(plane.max()),
     )

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..errors import ValidationError
+
 
 def matrix_from_csv(text: str | bytes, dim: tuple[int, int] | None = None) -> np.ndarray:
     if isinstance(text, bytes):
@@ -15,6 +17,13 @@ def matrix_from_csv(text: str | bytes, dim: tuple[int, int] | None = None) -> np
     rows = [
         [float(v) for v in line.split()] for line in text.splitlines() if line.strip()
     ]
+    if not rows:
+        raise ValidationError("empty matrix file")
+    widths = {len(r) for r in rows}
+    if len(widths) != 1:
+        raise ValidationError(
+            f"ragged matrix file: row widths {sorted(widths)}"
+        )
     m = np.array(rows, dtype=np.float64)
     if dim is not None and m.shape != dim:
         out = np.zeros(dim, dtype=np.float64)

@@ -39,19 +39,35 @@ def run_cmp(
     store: Store, *, rng=None, backend=None, n_sequences: int = 5000
 ) -> int:
     """Backfill our p-values next to BLAST's (blast_p_value_cmp.rs:16-58)."""
+    from ..alphabet import Protein
+    from ..observability import log
+
     m = blosum62()
     done = 0
     for row_id, query_id, target_id in store.get_cmp_rows_with_null_p_value():
         query = store.get_sequence_by_identifier(query_id)
         target = store.get_sequence_by_identifier(target_id)
         if query is None or target is None:
+            log.warning(
+                "blast_cmp row %s: unknown identifier %r; skipping",
+                row_id, query_id if query is None else target_id,
+            )
             continue
-        res = align_local(query, target, m, 11.0, 1.0, backend=backend)
-        p = calculate_p_value(
-            query, target, res.alignment.f, 11.0, 1.0, m,
-            rng=rng or np.random.default_rng(), backend=backend,
-            n_sequences=n_sequences,
-        )
+        try:
+            # strict=False: same treatment the rest of the pipeline
+            # gives these sequences (skip unknown characters)
+            q = Protein.encode(query, strict=False)
+            t = Protein.encode(target, strict=False)
+            res = align_local(q, t, m, 11.0, 1.0, backend=backend)
+            p = calculate_p_value(
+                q, t, res.alignment.f, 11.0, 1.0, m,
+                rng=rng or np.random.default_rng(), backend=backend,
+                n_sequences=n_sequences,
+            )
+        except Exception as e:
+            log.warning("blast_cmp row %s failed (%s: %s); skipping",
+                        row_id, type(e).__name__, e)
+            continue
         store.add_cmp_p_value_by_id(p, row_id)
         done += 1
     return done

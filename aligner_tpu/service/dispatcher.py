@@ -56,11 +56,12 @@ def generate_pairs(records):
 
 def symbol_frequencies(seq1: str, seq2: str, dim: int) -> np.ndarray:
     """Per-code symbol frequencies over both sequences (deterministic
-    replacement for handlers.rs:209-224)."""
-    counts = np.zeros(dim, dtype=np.float64)
+    replacement for handlers.rs:209-224).  Normalized by the RAW
+    concatenated length — codes >= dim and skipped characters dilute
+    the frequencies exactly as the reference's char-count/total does."""
     enc = Protein.encode(seq1 + seq2, strict=False)
-    for c in enc[enc < dim]:
-        counts[c] += 1
+    kept = enc[enc < dim].astype(np.int64)
+    counts = np.bincount(kept, minlength=dim).astype(np.float64)[:dim]
     return counts / max(len(seq1) + len(seq2), 1)
 
 
@@ -110,7 +111,11 @@ class Dispatcher:
                 req.dim_value, req.matrices_volume_value,
             )
             try:
-                self.store.insert_align_task(req, h, query.head, qseq, target.head, tseq)
+                # store the first-token record id (not the full header):
+                # identifier-based lookups (blast_cmp) key on the id
+                self.store.insert_align_task(
+                    req, h, query.id, qseq, target.id, tseq
+                )
             except ValidationError:
                 continue  # duplicate hash — skip (handlers.rs:118-121)
             hashes.append(h)

@@ -385,12 +385,22 @@ class Store:
             ).fetchall()
 
     def get_sequence_by_identifier(self, ident: str) -> str | None:
+        """Resolve an identifier to its sequence, whichever side of a
+        task it appears on (generate_pairs makes the LAST record of a
+        request target-only, so a query-column-only search would never
+        find it)."""
         with self._conn() as c:
             row = c.execute(
                 """select query_sequence from align_tasks
                    where query_sequence_id = ? limit 1""",
                 (ident,),
             ).fetchone()
+            if row is None:
+                row = c.execute(
+                    """select target_sequence from align_tasks
+                       where target_sequence_id = ? limit 1""",
+                    (ident,),
+                ).fetchone()
         return row[0] if row else None
 
     def add_cmp_p_value_by_id(self, p_value: float, row_id: int) -> None:

@@ -85,12 +85,26 @@ class Worker:
                 kd=ref.kd_value, r_squared=ref.r_squared_value,
                 frequencies=ref.frequences,
             )
-            results = heuristic_align_population(
-                Protein.encode(ref.sequence_1, strict=False),
-                Protein.encode(ref.sequence_2, strict=False),
-                mats, ref.del_value, ref.del_value, heur,
-                backend=self.backend,
-            )
+            try:
+                results = heuristic_align_population(
+                    Protein.encode(ref.sequence_1, strict=False),
+                    Protein.encode(ref.sequence_2, strict=False),
+                    mats, ref.del_value, ref.del_value, heur,
+                    backend=self.backend,
+                )
+            except Exception as e:
+                # deterministic per-task failures (e.g. a dim/frequency
+                # combination the heuristic math rejects) can never
+                # succeed on redelivery — commit the jobs away like
+                # poison instead of crash-looping the worker while the
+                # jobs bounce between lease expiries forever
+                log.warning(
+                    "task %s: heuristic population failed (%s: %s); "
+                    "dropping its %d jobs", hash_, type(e).__name__, e,
+                    len(items),
+                )
+                self.queue.commit([job_id for job_id, _ in items])
+                continue
             done_ids = []
             for (job_id, _), res in zip(items, results):
                 if res is None:

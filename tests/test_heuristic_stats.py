@@ -126,3 +126,35 @@ def test_calculate_p_value_end_to_end(rng):
         rng=np.random.default_rng(1), backend="xla", n_sequences=200,
     )
     assert p == p2
+
+
+def test_heuristic_max_iters_attaches_producing_matrix(rng):
+    """On max_iters exhaustion the attached matrix is the one that
+    PRODUCED the returned alignment, not the post-update transform;
+    max_iters < 1 is rejected (review r3)."""
+    from aligner_tpu.errors import ValidationError
+    from aligner_tpu.heuristic import Heuristics, heuristic_align
+
+    q = rng.integers(0, 24, 16).astype(np.int8)
+    t = q.copy()
+    seed = rng.integers(-1, 2, (24, 24)).astype(np.float64)
+    h = Heuristics(kd=0.0, r_squared=30.0, frequencies=np.full(24, 1 / 24))
+    res1 = heuristic_align(q, t, seed, 4.0, 2.0, h, backend="xla",
+                           max_iters=1)
+    # re-aligning with the attached matrix must reproduce the result
+    from aligner_tpu.align import align_local
+    again = align_local(q, t, res1.matrix, 4.0, 2.0, backend="xla")
+    assert again.alignment.f == res1.alignment.f
+    assert np.array_equal(again.alignment.query, res1.alignment.query)
+    with pytest.raises(ValidationError):
+        heuristic_align(q, t, seed, 4.0, 2.0, h, max_iters=0)
+
+
+def test_matrix_from_csv_rejects_empty_and_ragged():
+    from aligner_tpu.errors import ValidationError
+    from aligner_tpu.io.matrix_io import matrix_from_csv
+
+    with pytest.raises(ValidationError):
+        matrix_from_csv("", dim=(24, 24))
+    with pytest.raises(ValidationError):
+        matrix_from_csv("1 2 3\n4 5\n")

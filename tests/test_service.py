@@ -392,3 +392,46 @@ def test_worker_deregisters_on_clean_shutdown(svc):
              queue.group_member_stats("aligner.jobs.group")]
     assert "short-lived" not in names
     assert lingering in names
+
+
+def test_worker_drops_undoable_task_instead_of_crash_looping(svc):
+    """A task whose parameters the heuristic math rejects (dim != 24
+    makes frequency_matrix/frequencies shapes clash) must not
+    crash-loop the worker: its jobs are committed away with a warning
+    and the queue drains."""
+    disp, store, queue = svc
+    req = dict(REQ, dimValue=20, rSquaredValue=40.0)
+    code, resp = disp.validate(req)
+    assert code == 200
+    w = Worker(store, queue, batch=16, backend="xla")
+    for _ in range(6):
+        w.process_batch()
+    assert queue.pending(TOPIC_JOBS) == 0  # dropped, not redelivered
+
+
+def test_calc_backfill_survives_nonstrict_characters(svc):
+    """Sequences the pipeline accepted with strict=False (e.g. 'U')
+    must not crash the p-value backfill forever (review r3)."""
+    from aligner_tpu.cli.calc import run_once
+
+    disp, store, queue = svc
+    code, resp = disp.validate(dict(REQ, sequences=">a\nHEAGAWGHEEU\n>b\nPAWHEAEU\n"))
+    h = resp["hashes"][0]
+    mat = np.zeros((24, 24))
+    for i in range(REQ["matricesVolumeValue"]):
+        store.insert_align_subtask(h, float(i + 1), mat, "Q", "T",
+                                   source_key=str(i))
+    assert store.promote_if_complete(h)
+    n = run_once(store, rng=np.random.default_rng(0), backend="xla",
+                 n_sequences=12)
+    assert n == 1
+    assert store.get_ids_with_null_p_value() == []
+
+
+def test_sequence_identifier_resolves_target_only_records(svc):
+    """The LAST record of a request appears only as a target; its
+    identifier must still resolve (review r3)."""
+    disp, store, queue = svc
+    disp.validate(dict(REQ, sequences=">first\nHEAGAWGHEE\n>last desc\nPAWHEAE\n"))
+    assert store.get_sequence_by_identifier("last") == "PAWHEAE"
+    assert store.get_sequence_by_identifier("first") == "HEAGAWGHEE"
