@@ -41,8 +41,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Direction codes (enums.rs:9-15).
-TOP, LEFT, DIAG, BEG = 0, 1, 2, 3
+# Direction codes (enums.rs:9-15) — ONE definition, in the oracle;
+# every engine re-exports from here or there so the cross-engine
+# bit-contract cannot drift
+from ..oracle import BEG, DIAG, LEFT, TOP  # noqa: E402,F401
 
 
 @jax.tree_util.register_dataclass

@@ -26,13 +26,34 @@ import numpy as np
 from .mesh import make_mesh
 
 
+# Env markers Cloud TPU sets on pod-slice VMs — their presence means
+# jax.distributed.initialize() can auto-detect the whole cluster
+_CLOUD_TPU_MARKERS = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+
+
 def initialize_from_env() -> None:
     """``jax.distributed.initialize`` with the ALIGNER_* env contract.
 
-    No-op for single-process runs (ALIGNER_NUM_PROCESSES unset or 1).
+    Without ALIGNER_NUM_PROCESSES, auto-detection is attempted when the
+    environment carries Cloud TPU pod markers — JAX only auto-detects
+    if ``initialize()`` is actually CALLED, and skipping it on a pod
+    slice would silently give every host a LOCAL mesh (collectives then
+    compute per-host statistics instead of global ones).  Plain
+    single-host runs (no markers) stay a no-op.
     """
     n = int(os.environ.get("ALIGNER_NUM_PROCESSES", "1"))
     if n <= 1:
+        if any(os.environ.get(v) for v in _CLOUD_TPU_MARKERS):
+            try:
+                jax.distributed.initialize()
+            except Exception as e:
+                from ..observability import log
+
+                log.warning(
+                    "cloud-TPU markers present but distributed "
+                    "auto-init failed (%s); continuing single-process",
+                    e,
+                )
         return
     jax.distributed.initialize(
         coordinator_address=os.environ["ALIGNER_COORDINATOR"],
@@ -46,17 +67,30 @@ def global_mesh(axes: tuple[str, str] = ("data", "matrix")):
     return make_mesh(len(jax.devices()), axes)
 
 
-def shard_local_batch(mesh, axis: str, local_array: np.ndarray):
+def shard_local_batch(mesh, axis: str, local_array: np.ndarray,
+                      global_rows: int | None = None):
     """Build a global sharded array from per-process local data.
 
     Each process contributes its own slice of the problem batch (the
     host-level work feed replaces Kafka partitioning); the result is a
     jax.Array sharded over ``axis`` that sharded steps consume directly.
+
+    Pass ``global_rows`` (the TOTAL batch size) whenever per-process
+    spans can be uneven — :func:`process_span`'s ceil-div gives the
+    tail process fewer (possibly zero) rows, and without the explicit
+    global shape every process would infer a different global batch
+    from its own local share.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(axis))
-    return jax.make_array_from_process_local_data(sharding, local_array)
+    global_shape = (
+        None if global_rows is None
+        else (global_rows, *local_array.shape[1:])
+    )
+    return jax.make_array_from_process_local_data(
+        sharding, local_array, global_shape=global_shape
+    )
 
 
 def process_span(total: int) -> tuple[int, int]:

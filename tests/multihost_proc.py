@@ -47,10 +47,10 @@ def main() -> int:
 
     # each process contributes only its own slice (the host work feed)
     lo, hi = multihost.process_span(B)
-    qg = multihost.shard_local_batch(mesh, "data", q[lo:hi])
-    tg = multihost.shard_local_batch(mesh, "data", t[lo:hi])
-    qlg = multihost.shard_local_batch(mesh, "data", ql[lo:hi])
-    tlg = multihost.shard_local_batch(mesh, "data", tl[lo:hi])
+    qg = multihost.shard_local_batch(mesh, "data", q[lo:hi], global_rows=B)
+    tg = multihost.shard_local_batch(mesh, "data", t[lo:hi], global_rows=B)
+    qlg = multihost.shard_local_batch(mesh, "data", ql[lo:hi], global_rows=B)
+    tlg = multihost.shard_local_batch(mesh, "data", tl[lo:hi], global_rows=B)
 
     fmax, fy, fx, end = sharded_scores(
         mesh, qg, qlg, tg, tlg, mat, 11.0, 2.0, mode="local", engine="xla"
