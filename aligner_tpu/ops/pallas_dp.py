@@ -375,15 +375,19 @@ def lut_matrix_arg(matrix, dtype, enable: bool = True):
 
 
 def _pick_bs(R: int, C: int, V: int, with_planes: bool, batched_mat: bool,
-             scores_plane: bool = True) -> int:
-    """Largest BS (sublane groups per tile) whose VMEM footprint fits."""
+             scores_plane: bool = True, mat_rows: int | None = None) -> int:
+    """Largest BS (sublane groups per tile) whose VMEM footprint fits.
+
+    ``mat_rows``: flattened per-problem matrix rows when ``batched_mat``
+    — V*V for pair matrices (default), 4*W for batched PWMs (whose
+    block is (4·W, BS, 128), NOT (V·V, ...))."""
     budget = 15 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
     for bs in (32, 16, 8, 4, 2, 1):
         rows = (R + 1) + 2  # colbuf scratch + pen/tracking
         rows += 2 * R  # t-codes input block (pipeline double-buffers it)
         rows += 8  # q/qlen/tlen + small outputs, double-buffered
         if batched_mat:
-            rows += 2 * V * V
+            rows += 2 * (V * V if mat_rows is None else mat_rows)
         if with_planes:
             rows += 2 * (R // 8)  # packed dirs words, double-buffered
             if scores_plane:
@@ -602,7 +606,21 @@ def _transpose_words_pm(w, NB, BS, C, R):
     return jnp.transpose(w, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R // 8, C)
 
 
-def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, del_, dtype):
+# module-level jitted forms: a fresh jax.jit(...) wrapper (or closure)
+# per call would carry its OWN trace cache and recompile the transpose
+# on EVERY planes fill (~60s each on a remote-compile backend)
+_transpose_words_pm_jit = jax.jit(
+    _transpose_words_pm, static_argnums=(1, 2, 3, 4)
+)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _transpose_vals_pm(v, NB, BS, C, R):
+    v = v.reshape(NB, C, R, BS, LANES)
+    return jnp.transpose(v, (0, 3, 4, 2, 1)).reshape(NB * BS * LANES, R, C)
+
+
+def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, del_):
     """Packed direction/score streams → (B, R+1, C+1) planes with borders.
 
     The device transposes the packed words to problem-major order (cheap);
@@ -610,24 +628,13 @@ def _assemble(interior_vals, interior_dirs, NB, BS, B, R, C, qlen, tlen, mode, d
     border assembly happen in NumPy on the host (the consumers — traceback
     walks — are host-side anyway).  ``interior_vals`` may be None
     (direction-only mode; returns plane=None)."""
-    w = np.asarray(
-        jax.jit(_transpose_words_pm, static_argnums=(1, 2, 3, 4))(
-            interior_dirs, NB, BS, C, R
-        )
-    )[:B]
+    w = np.asarray(_transpose_words_pm_jit(interior_dirs, NB, BS, C, R))[:B]
     qlen = np.asarray(qlen)
     tlen = np.asarray(tlen)
     dirs = dirs_from_packed(w, qlen, tlen, mode)
     plane = None
     if interior_vals is not None:
-        @jax.jit
-        def _transpose_vals(v):
-            v = v.reshape(NB, C, R, BS, LANES)
-            return jnp.transpose(v, (0, 3, 4, 2, 1)).reshape(
-                NB * BS * LANES, R, C
-            )
-
-        v = np.asarray(_transpose_vals(interior_vals))[:B]
+        v = np.asarray(_transpose_vals_pm(interior_vals, NB, BS, C, R))[:B]
         plane = np.zeros((B, R + 1, C + 1), np.asarray(v).dtype)
         if mode == "global":
             xs = np.arange(1, C + 1, dtype=np.int32)
@@ -721,7 +728,7 @@ def fill_batch_pallas(
     if with_planes:
         plane, dirs = _assemble(
             outs[5] if scores_plane else None, outs[4], NB, BS, B, R, C,
-            jnp.asarray(qlen), jnp.asarray(tlen), mode, float(del_), dtype,
+            jnp.asarray(qlen), jnp.asarray(tlen), mode, float(del_),
         )
         if R != R_orig:  # drop the unroll padding rows
             if plane is not None:
@@ -756,7 +763,8 @@ def fill_pwm_batch_pallas(
     batched_mat = pwm.ndim == 3
     W = pwm.shape[-1]
     BS = min(
-        _pick_bs(R, W, 4, with_planes, batched_mat, scores_plane),
+        _pick_bs(R, W, 4, with_planes, batched_mat, scores_plane,
+                 mat_rows=4 * W),
         max(1, _cdiv(B, LANES)),
     )
     NB = _cdiv(B, BS * LANES)
@@ -780,7 +788,7 @@ def fill_pwm_batch_pallas(
     if with_planes:
         plane, dirs = _assemble(
             outs[5] if scores_plane else None, outs[4], NB, BS, B, R, W,
-            jnp.full(B, W, jnp.int32), jnp.asarray(qlen), "local", float(del_), dtype,
+            jnp.full(B, W, jnp.int32), jnp.asarray(qlen), "local", float(del_),
         )
         if R != R_orig:  # drop the unroll padding rows
             if plane is not None:
@@ -942,7 +950,8 @@ def fill_pwm_full_traced(
     W = pwm.shape[-1]
     batched_mat = pwm.ndim == 3
     BS = bs or min(
-        _pick_bs(R, W, 4, True, batched_mat, scores_plane=False),
+        _pick_bs(R, W, 4, True, batched_mat, scores_plane=False,
+                 mat_rows=4 * W),
         max(1, _cdiv(B, LANES)),
     )
     NB = _cdiv(B, BS * LANES)
@@ -972,12 +981,13 @@ def fill_pwm_scores_traced(
     ext: float,
     *,
     dtype=jnp.float32,
-    packed_lut: bool = False,
     bs: int | None = None,
     interpret: bool | None = None,
 ):
     """Traceable scores-only PWM fill (shared or (B, 4, W) batched PWM)
-    for jit/shard_map."""
+    for jit/shard_map.  (No ``packed_lut`` option: the kernel's packed
+    path reads the pair-mode query codes, which PWM mode does not
+    have.)"""
     q = jnp.asarray(q, jnp.int32)
     B, R = q.shape
     if R % 8:
@@ -986,7 +996,8 @@ def fill_pwm_scores_traced(
     W = pwm.shape[-1]
     batched_mat = pwm.ndim == 3
     BS = bs or min(
-        _pick_bs(R, W, 4, False, batched_mat), max(1, _cdiv(B, LANES))
+        _pick_bs(R, W, 4, False, batched_mat, mat_rows=4 * W),
+        max(1, _cdiv(B, LANES))
     )
     NB = _cdiv(B, BS * LANES)
     t4 = _to_tiles_traced(q, NB, BS)
@@ -998,6 +1009,6 @@ def fill_pwm_scores_traced(
     outs = _run(
         None, t4, None, tl4, pwm, float(del_), float(ext),
         mode="pwm", with_planes=False, dtype=dtype, interpret=interpret,
-        packed_lut=packed_lut,
+        packed_lut=False,
     )
     return tuple(o.reshape(NB * BS * LANES)[:B] for o in outs[:4])

@@ -1066,12 +1066,10 @@ def steps_to_chunks(packed, n, cy, cx, q, t):
     cursor replay — position BEFORE each step via cumulative sums, no
     plane access (same scheme as ops/device_walk.decode_pair)."""
     from ..alphabet import BLANK
+    from .device_walk import _cursor_replay
 
     ds = _unpack_step_words(np.asarray(packed), n)
-    up = (ds == TOP) | (ds == DIAG)
-    lf = (ds == LEFT) | (ds == DIAG)
-    y_at = cy - np.concatenate(([0], np.cumsum(up[:-1])))
-    x_at = cx - np.concatenate(([0], np.cumsum(lf[:-1])))
+    y_at, x_at = _cursor_replay(ds, cy, cx)
     qa = np.where(ds == TOP, BLANK, q[x_at - 1]).astype(np.int16)
     ta = np.where(ds == LEFT, BLANK, t[y_at - 1]).astype(np.int16)
     return qa, ta
@@ -1185,6 +1183,9 @@ def align_single_global_chunked(
     if C_real == 0 or R_real == 0:
         raise ValueError("empty sequence")
     assert tb_rows % tr == 0
+    # the direction replay packs 16 rows per word (TR // ROWS_PER_WORD
+    # blocks) — a smaller tr would silently floor to zero-size outputs
+    assert tr % ROWS_PER_WORD == 0, "tr must be a multiple of 16"
     if interpret is None:
         interpret = not on_tpu()
 
@@ -1206,12 +1207,14 @@ def align_single_global_chunked(
     )
     end = float(np.asarray(outs[0])[0, 0])
     ckpts_dev = outs[1]  # (n_ck, S, 128); ckpts[k] = H[(k+1)*TB]
-    ckpts = np.asarray(ckpts_dev)  # host copy for the fallback walk
 
     def _block_h0(j: int):
+        # host-walk fallback only: pulls the checkpoint rows down once
+        # (the default device walk reads ckpts_dev in place and never
+        # pays the (R/TB)*C transfer)
         if j == 0:
             return jnp.zeros((S, LANES), jnp.int32)
-        return jnp.asarray(ckpts[j - 1])
+        return jnp.asarray(np.asarray(ckpts_dev)[j - 1])
 
     def replay_block(j: int) -> np.ndarray:
         """Interior dirs (TB, C_pad) of rows j*TB+1 .. (j+1)*TB."""
