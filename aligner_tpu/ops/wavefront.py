@@ -129,17 +129,18 @@ def _kernel(
     t_ref,  # (1, 1, TR) i32 target codes for this row block (SMEM)
     pmat_ref,  # (n_words, V) i32 column-packed matrix (SMEM)
     h0_ref,  # (S, 128) i32 initial H row (used when y_offset > 0)
-    yoff_ref,  # (1, 1) i32 (SMEM): absolute row offset of this fill —
-    # traced so the chunked traceback replays every block with ONE
-    # compiled kernel (a static offset would compile a variant per
-    # block, ~60 s each through this machine's remote-compile tunnel)
+    scal_ref,  # (1, 3) i32 (SMEM): [y_offset, C_real, R_real] — ALL
+    # traced so one compiled program serves every fill whose *padded*
+    # bucket (S sublanes, n_blocks of TR rows) matches: the chunked
+    # traceback replays every block with it, and distinct pair lengths
+    # within a bucket stop costing a fresh ~60 s remote compile each on
+    # this machine's tunnel (the per-step SMEM-read ablation in
+    # docs/PERF_NOTES.md showed scalar reads are free at these sizes)
     end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen]
     *refs,
     S: int,
     TR: int,
     V: int,
-    C_real: int,
-    R_real: int,
     del_: int,
     ext: int,
     with_dirs: bool,
@@ -160,7 +161,9 @@ def _kernel(
     lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
     flat = sub * LANES + lane  # j = x - 1
 
-    y_offset = yoff_ref[0, 0]
+    y_offset = scal_ref[0, 0]
+    C_real = scal_ref[0, 1]
+    R_real = scal_ref[0, 2]
 
     @pl.when(i == 0)
     def _init():
@@ -168,7 +171,7 @@ def _kernel(
         # y_offset == 0: the global border row (simple/mod.rs:59-70);
         # otherwise a mid-fill replay from a checkpointed H[y_offset]
         border_row = jnp.where(
-            x1 == C_real, -(jnp.int32(C_real) + 1) * DEL, -x1 * DEL
+            x1 == C_real, -(C_real + 1) * DEL, -x1 * DEL
         )
         h_ref[:] = jnp.where(y_offset == 0, border_row, h0_ref[:])
         # packed score words by query symbol: pw[g][x] = the 4 biased
@@ -185,9 +188,7 @@ def _kernel(
 
     def border(y):
         # H[y, 0] = -y*del, far corner H[tlen, 0] = -(tlen+1)*del
-        return jnp.where(
-            y == R_real, -(jnp.int32(R_real) + 1) * DEL, -y * DEL
-        )
+        return jnp.where(y == R_real, -(R_real + 1) * DEL, -y * DEL)
 
     def row(r, word):
         y = y_offset + i * TR + r + 1  # 1-based absolute row
@@ -218,8 +219,10 @@ def _kernel(
         h_ref[:] = h
         @pl.when(y == R_real)
         def _end():
-            j0 = C_real - 1
-            end_ref[0, 0] = h[j0 // LANES, j0 % LANES]
+            # one-hot masked reduction (same scheme as _kernel_block_cs):
+            # C_real is traced, so a direct [j0//128, j0%128] read would
+            # be a dynamic per-lane access — not a vector op
+            end_ref[0, 0] = jnp.sum(jnp.where(flat == C_real - 1, h, 0))
         if with_dirs:
             pen_d = jnp.where(is_row1 & first, DEL, P)
             top = prev - pen_d
@@ -246,7 +249,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "with_dirs",
+        "S", "TR", "V", "del_", "ext", "with_dirs",
         "interpret", "ckpt_every",
     ),
 )
@@ -260,8 +263,8 @@ def _run(
     S: int,
     TR: int,
     V: int,
-    C_real: int,
-    R_real: int,
+    C_real,  # TRACED real pair lengths — one compile per padded bucket
+    R_real,  # (S×128 columns, n_blocks×TR rows), see _kernel's scal_ref
     del_: int,
     ext: int,
     with_dirs: bool,
@@ -271,7 +274,7 @@ def _run(
     n_blocks = t_blocks.shape[0]
     kernel = functools.partial(
         _kernel,
-        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
+        S=S, TR=TR, V=V,
         del_=del_, ext=ext, with_dirs=with_dirs,
         ckpt_every=ckpt_every,
     )
@@ -282,7 +285,7 @@ def _run(
         ),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
     out_specs = [
@@ -331,7 +334,11 @@ def _run(
             dimension_semantics=("arbitrary",),
         ),
     )(q_tile, t_blocks, pmat, h0,
-      jnp.asarray(y_offset, jnp.int32).reshape(1, 1))
+      jnp.stack([
+          jnp.asarray(y_offset, jnp.int32),
+          jnp.asarray(C_real, jnp.int32),
+          jnp.asarray(R_real, jnp.int32),
+      ]).reshape(1, 3))
 
 
 def _integral_int8(matrix, del_, ext) -> bool:
@@ -523,7 +530,9 @@ def _kernel_band(
     # H[band_base, x = d] at slot d-1
     pmat_ref,  # (n_words, V) i32 packed matrix TRANSPOSE (SMEM) — the
     # lookup is mirrored vs the row kernel: t fixed per lane, q streams
-    scal_ref,  # (1, 2) i32 SMEM: [band_base, d_cap]
+    scal_ref,  # (1, 4) i32 SMEM: [band_base, d_cap, C_real, R_real] —
+    # the real lengths are traced so one compiled band program serves
+    # every pair in the same padded bucket (see _kernel's scal_ref note)
     rb_ref,  # (TD//128, 1, 128) i32 out chunk (VMEM): boundary row —
     # flat slot k holds H[band_end, x = k+1-(TB-1)], rotate+mask
     # accumulated and stored every 128 steps.  (Measured alternatives:
@@ -544,8 +553,6 @@ def _kernel_band(
     S: int,
     TD: int,
     V: int,
-    C_real: int,
-    R_real: int,
     del_: int,
     ext: int,
     lut_bits: int,
@@ -566,8 +573,10 @@ def _kernel_band(
 
     band_base = scal_ref[0, 0]
     d_cap = scal_ref[0, 1]
+    C_real = scal_ref[0, 2]
+    R_real = scal_ref[0, 3]
     # end-cell lane mask, hoisted (d_cap is per-band constant)
-    emask = flat == d_cap - jnp.int32(C_real)
+    emask = flat == d_cap - C_real
 
     @pl.when(i == 0)
     def _init():
@@ -600,12 +609,9 @@ def _kernel_band(
         # the up-carry holds junk for an entering lane (far-corner
         # overwrite per simple/mod.rs:59-70 on both)
         y1 = band_base + d
-        bc = jnp.where(
-            y1 == R_real, -(jnp.int32(R_real) + 1) * DEL, -y1 * DEL
-        )
+        bc = jnp.where(y1 == R_real, -(R_real + 1) * DEL, -y1 * DEL)
         bc_up = jnp.where(
-            y1 - 1 == R_real, -(jnp.int32(R_real) + 1) * DEL,
-            -(y1 - 1) * DEL,
+            y1 - 1 == R_real, -(R_real + 1) * DEL, -(y1 - 1) * DEL
         )
         entering = flat == d - 1
         left = jnp.where(entering, bc, a)
@@ -642,7 +648,7 @@ def _kernel_band(
 
 
 def _run_band_single(t_band, q_chunks, prev_chunks, pmat, scal, *,
-                     S, TD, V, C_real, R_real, del_, ext,
+                     S, TD, V, del_, ext,
                      lut_bits, lut_bias, interpret):
     """One band: returns (rb (n_chunks*TD//128, 1, 128), end (1, 1))."""
     n_chunks = q_chunks.shape[0]
@@ -650,7 +656,7 @@ def _run_band_single(t_band, q_chunks, prev_chunks, pmat, scal, *,
     G = TD // LANES  # 128-step groups per chunk
     kernel = functools.partial(
         _kernel_band,
-        S=S, TD=TD, V=V, C_real=C_real, R_real=R_real,
+        S=S, TD=TD, V=V,
         del_=del_, ext=ext, lut_bits=lut_bits, lut_bias=lut_bias,
     )
     per_word = 8 if lut_bits == 4 else 4
@@ -666,7 +672,7 @@ def _run_band_single(t_band, q_chunks, prev_chunks, pmat, scal, *,
             pl.BlockSpec((1, 1, TD), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((G, 1, LANES), lambda i: (i, 0, 0),
@@ -694,7 +700,7 @@ def _run_band_single(t_band, q_chunks, prev_chunks, pmat, scal, *,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "TD", "V", "C_real", "R_real", "del_", "ext", "lut_bits",
+        "S", "TD", "V", "del_", "ext", "lut_bits",
         "lut_bias", "interpret",
     ),
 )
@@ -707,8 +713,8 @@ def _run_band(
     S: int,
     TD: int,
     V: int,
-    C_real: int,
-    R_real: int,
+    C_real,  # TRACED — one compile per padded bucket, see _kernel_band
+    R_real,
     del_: int,
     ext: int,
     lut_bits: int,
@@ -730,11 +736,13 @@ def _run_band(
             r_local + jnp.int32(C_real) - 1,
             jnp.int32(-1),
         )
-        scal = jnp.stack([band_base, d_cap]).reshape(1, 2)
+        scal = jnp.stack([
+            band_base, d_cap, jnp.int32(C_real), jnp.int32(R_real)
+        ]).reshape(1, 4)
         rb, end_b = _run_band_single(
             t_band, q_chunks, prev_stream.reshape(n_chunks, 1, TD),
             pmat, scal,
-            S=S, TD=TD, V=V, C_real=C_real, R_real=R_real,
+            S=S, TD=TD, V=V,
             del_=del_, ext=ext, lut_bits=lut_bits, lut_bias=lut_bias,
             interpret=interpret,
         )
@@ -828,7 +836,9 @@ def _kernel_block_cs(
     t_ref,  # (1, TR) i32 target codes of this row block (SMEM)
     h0_ref,  # (S, 128) i32 previous row (local columns)
     lb_ref,  # (1, TR + 1) i32: H[y_base + r, x0] for r = 0..TR (SMEM)
-    scal_ref,  # (1, 2) i32 SMEM: [x0, y_base]
+    scal_ref,  # (1, 4) i32 SMEM: [x0, y_base, C_real, R_real] — all
+    # traced: one compiled block program serves every pair whose padded
+    # bucket (S, TR) matches (see _kernel's scal_ref note)
     hout_ref,  # (S, 128) i32 out: new row
     rb_ref,  # (1, TR) i32 out (SMEM): right boundary per row
     end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen] when owned
@@ -836,8 +846,6 @@ def _kernel_block_cs(
     S: int,
     TR: int,
     V: int,
-    C_real: int,
-    R_real: int,
     del_: int,
     ext: int,
     with_dirs: bool,
@@ -853,9 +861,11 @@ def _kernel_block_cs(
     flat = sub * LANES + lane
     x0 = scal_ref[0, 0]
     y_base = scal_ref[0, 1]
+    C_real = scal_ref[0, 2]
+    R_real = scal_ref[0, 3]
     xg1 = x0 + flat + 1  # global 1-based column per lane
     xp = xg1 * P
-    c_local = jnp.int32(C_real - 1) - x0  # end cell's local flat index
+    c_local = C_real - 1 - x0  # end cell's local flat index
 
     end_ref[0, 0] = 0  # only the owning block overwrites
     h_ref[:] = h0_ref[:]
@@ -929,7 +939,7 @@ def pack_query_words(q_tile, pmat, V: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
+        "S", "TR", "V", "del_", "ext", "interpret",
         "with_dirs",
     ),
 )
@@ -938,13 +948,11 @@ def run_block_cs(
     t_rows,  # (1, TR) i32
     h_prev,  # (S, 128) i32
     lbound,  # (1, TR + 1) i32
-    scalars,  # (1, 2) i32: [x0, y_base]
+    scalars,  # (1, 4) i32: [x0, y_base, C_real, R_real]
     *,
     S: int,
     TR: int,
     V: int,
-    C_real: int,
-    R_real: int,
     del_: int,
     ext: int,
     interpret: bool,
@@ -957,7 +965,7 @@ def run_block_cs(
     owns it else 0."""
     kernel = functools.partial(
         _kernel_block_cs,
-        S=S, TR=TR, V=V, C_real=C_real, R_real=R_real,
+        S=S, TR=TR, V=V,
         del_=int(del_), ext=int(ext), with_dirs=with_dirs,
     )
     n_words = _cdiv(V, 4)
@@ -991,7 +999,7 @@ def run_block_cs(
             pl.BlockSpec((1, TR), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR + 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
@@ -1078,7 +1086,7 @@ def steps_to_chunks(packed, n, cy, cx, q, t):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "TR", "V", "C_real", "R_real", "del_", "ext", "interpret",
+        "S", "TR", "V", "del_", "ext", "interpret",
         "TB", "NCK",
     ),
 )

@@ -157,25 +157,31 @@ def _pipeline(mesh, pp, tr, with_trace: bool):
     ``end`` or ``(end, lb_hist (n, R_pad), ckpts (n_ck, C_pad))``."""
     run = _build_pipeline(
         mesh, pp["axis"], pp["n"], pp["engine"], pp["interpret"],
-        pp["V"], pp["C_real"], pp["R_real"], pp["Cb"], pp["S_loc"],
+        pp["V"], pp["Cb"], pp["S_loc"],
         pp["J"], pp["R_pad"], int(pp["DEL"]), int(pp["EXT"]),
         pp["stride"], pp["n_ck"], tr, with_trace,
     )
-    return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"])
+    lens = jnp.asarray([pp["C_real"], pp["R_real"]], jnp.int32)
+    return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"],
+               lens)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_pipeline(mesh, axis, n, engine, interpret, V, C_real, R_real,
+def _build_pipeline(mesh, axis, n, engine, interpret, V,
                     Cb, S_loc, J, R_pad, del_i, ext_i, stride, n_ck, tr,
                     with_trace):
     """The jitted shard_map program, cached on its static parameters —
     rebuilding the jit wrapper per call would retrace the whole J-step
     pipeline every time (~0.4 s constant overhead per invocation
-    measured on the 64k case, vs ~0 warm when cached)."""
+    measured on the 64k case, vs ~0 warm when cached).  The REAL pair
+    lengths ride in as a replicated (2,) operand, so one compiled
+    pipeline serves every pair whose padded bucket (Cb, J) matches —
+    distinct lengths within a bucket stop costing a fresh ~60 s remote
+    compile each (docs/PERF_NOTES.md, compile-bucket lever)."""
     DEL = np.int32(del_i)
     EXT = np.int32(ext_i)
 
-    in_specs = (P(axis), P(), P())
+    in_specs = (P(axis), P(), P(), P())
     if with_trace:
         out_specs = (P(), P(axis, None), P(None, axis))
     else:
@@ -187,7 +193,9 @@ def _build_pipeline(mesh, axis, n, engine, interpret, V, C_real, R_real,
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
-    def run(q_local, t_full, mat):
+    def run(q_local, t_full, mat, lens):
+        C_real = lens[0]
+        R_real = lens[1]
         d = lax.axis_index(axis)
         x0 = d * Cb  # global 0-based index of this device's first column
         xg = x0 + jnp.arange(Cb, dtype=jnp.int32)  # global x-1 per lane
@@ -251,13 +259,15 @@ def _build_pipeline(mesh, axis, n, engine, interpret, V, C_real, R_real,
                 from ..ops.wavefront import run_block_cs
 
                 lb = jnp.concatenate([last_bound[None], bl_cur])
-                scal = jnp.stack([x0, jc * tr]).reshape(1, 2)
+                scal = jnp.stack([
+                    x0, jc * tr, jnp.int32(C_real), jnp.int32(R_real)
+                ]).reshape(1, 4)
                 h_new, rights2d, endv = run_block_cs(
                     pw,
                     t_rows.reshape(1, tr),
                     prev.reshape(S_loc, 128), lb.reshape(1, tr + 1),
                     scal,
-                    S=S_loc, TR=tr, V=V, C_real=C_real, R_real=R_real,
+                    S=S_loc, TR=tr, V=V,
                     del_=int(DEL), ext=int(EXT), interpret=interpret,
                 )
                 # block ownership of the end cell (end value may be 0)
@@ -414,14 +424,14 @@ def _lax_tile_dirs(q_codes, mat, t_rows, h0, lb, x0, y_base,
 
 _lax_tile_dirs_jit = jax.jit(
     _lax_tile_dirs,
-    static_argnames=("C_real", "R_real", "V"),
+    static_argnames=("V",),
 )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "engine", "S_loc", "TB", "V", "C_real", "R_real", "del_",
+        "engine", "S_loc", "TB", "V", "del_",
         "ext", "interpret", "NCK", "n", "Cb",
     ),
 )
@@ -492,13 +502,14 @@ def _replay_walk_all_sharded(
         if engine == "pallas":
             pw = lax.dynamic_index_in_dim(pw_all, d, axis=0,
                                           keepdims=False)
-            scal = jnp.stack(
-                [x0.astype(jnp.int32), (j * TB).astype(jnp.int32)]
-            ).reshape(1, 2)
+            scal = jnp.stack([
+                x0.astype(jnp.int32), (j * TB).astype(jnp.int32),
+                jnp.int32(C_real), jnp.int32(R_real),
+            ]).reshape(1, 4)
             outs = run_block_cs(
                 pw, t_rows.reshape(1, TB), h0.reshape(S_loc, 128),
                 lb.reshape(1, TB + 1), scal,
-                S=S_loc, TR=TB, V=V, C_real=C_real, R_real=R_real,
+                S=S_loc, TR=TB, V=V,
                 del_=del_, ext=ext, interpret=interpret,
                 with_dirs=True,
             )
@@ -628,8 +639,10 @@ def sharded_global_align(
                 jnp.asarray(t_rows.reshape(1, TB)),
                 jnp.asarray(h0.reshape(S_loc, 128)),
                 jnp.asarray(lb.reshape(1, TB + 1)),
-                jnp.asarray(np.array([[x0, j * TB]], np.int32)),
-                S=S_loc, TR=TB, V=V, C_real=C_real, R_real=R_real,
+                jnp.asarray(
+                    np.array([[x0, j * TB, C_real, R_real]], np.int32)
+                ),
+                S=S_loc, TR=TB, V=V,
                 del_=DEL_i, ext=EXT_i, interpret=pp["interpret"],
                 with_dirs=True,
             )

@@ -220,6 +220,28 @@ def test_empty_sequences_raise():
         pack_matrix_words(np.full((24, 24), 200.0))
 
 
+def test_compile_bucket_reuse(rng):
+    """Distinct real pair lengths inside one padded bucket (S sublanes ×
+    n_blocks row-blocks) share ONE compiled program — C_real/R_real ride
+    in as traced SMEM scalars (the compile-bucket lever,
+    docs/PERF_NOTES.md: a static length costs a fresh ~60 s remote
+    compile per distinct pair shape on tunnel backends)."""
+    from aligner_tpu.ops import wavefront
+
+    M = np.asarray(at.blosum62())
+    # all in the S=1 (C <= 128), R_pad=192 (tr=64) bucket
+    sizes = []
+    for C, R in [(100, 150), (90, 140), (128, 129)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 11.0, 2.0)
+        end, dirs = fill_single_global(q, t, M, 11.0, 2.0, interpret=True)
+        assert end == ref.score[R, C]
+        np.testing.assert_array_equal(dirs, ref.directions)
+        sizes.append(wavefront._run._cache_size())
+    assert sizes[1] == sizes[0] and sizes[2] == sizes[0], sizes
+
+
 def test_chunked_device_walk_matches_host_walk(rng, monkeypatch):
     """The fused on-device replay+walk (default) is bit-identical to the
     host per-cell walk over downloaded direction blocks, including

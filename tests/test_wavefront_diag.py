@@ -149,3 +149,25 @@ def test_diag_hardware_spot(rng):
     got = end_score_single_global_diag(q, t, M, 11.0, 2.0,
                                        tb=256, td=512, interpret=False)
     assert got == ref.score[1500, 1000]
+
+
+def test_compile_bucket_reuse_diag(rng):
+    """Distinct real lengths inside one padded bucket (S sublanes,
+    n_bands, D_pad chunks) share ONE compiled band program — the real
+    lengths ride in as traced SMEM scalars (compile-bucket lever,
+    docs/PERF_NOTES.md)."""
+    from aligner_tpu.ops import wavefront
+
+    M = np.asarray(at.blosum62())
+    sizes = []
+    # both land in the TB=256 (R in 129..256), D_pad=512 bucket
+    for C, R in [(150, 200), (140, 190)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 11.0, 2.0)
+        got = end_score_single_global_diag(
+            q, t, M, 11.0, 2.0, tb=256, td=512, interpret=True
+        )
+        assert got == ref.score[R, C]
+        sizes.append(wavefront._run_band._cache_size())
+    assert sizes[1] == sizes[0], sizes

@@ -283,6 +283,30 @@ def test_oversized_rejection_is_o1(mesh, monkeypatch):
 
 
 @pytest.mark.parametrize("engine", ["lax", "pallas"])
+def test_compile_bucket_reuse_sharded(mesh, rng, engine):
+    """Distinct real lengths inside one padded bucket (Cb columns ×
+    J row-blocks) reuse the SAME cached pipeline — the lengths ride in
+    as a replicated runtime operand, so no rebuild and no retrace
+    (compile-bucket lever, docs/PERF_NOTES.md)."""
+    from aligner_tpu.parallel import wavefront_sp
+
+    M = np.asarray(at.blosum62())
+    size0 = None
+    # both pairs land in the Cb/J bucket of (1000, 700) at tr=64, n=8
+    for C, R in [(1000, 700), (999, 660)]:
+        q = rng.integers(0, 24, C).astype(np.int8)
+        t = rng.integers(0, 24, R).astype(np.int8)
+        ref = host.align_global(q, t, M, 11.0, 2.0)
+        end = sharded_global_end_score(mesh, q, t, M, 11.0, 2.0, tr=64,
+                                       engine=engine)
+        assert end == ref.score[R, C]
+        size = wavefront_sp._build_pipeline.cache_info().currsize
+        if size0 is None:
+            size0 = size
+    assert size == size0  # the second pair added no pipeline build
+
+
+@pytest.mark.parametrize("engine", ["lax", "pallas"])
 def test_sharded_align_device_walk_matches_host_walk(
     mesh, rng, engine, monkeypatch
 ):
