@@ -38,6 +38,9 @@ def _clean_env() -> dict:
     env.pop("XLA_FLAGS", None)
     env["ALIGNER_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
+    # Child scripts are run by path (sys.path gets tests/, not the repo
+    # root), so make the package importable even when not pip-installed.
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
 
