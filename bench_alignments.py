@@ -4,7 +4,10 @@ Two workloads on protein.fasta-sized problems (~400aa pairs):
 
 * ``scores``      — one query vs N targets, scores only (database sweep);
 * ``alignments``  — full results including traceback (on-device
-  walk by default; 2-bit step streams transfer, not planes).
+  walk by default; 2-bit step streams transfer, not planes);
+* ``huge``        — ONE chromosome-scale global pair, exact strings via
+  the checkpoint-and-replay wavefront (``align_single_global_chunked``)
+  with the single-dispatch on-device backward walk.
 
 Prints one JSON line per workload.
 """
@@ -21,6 +24,9 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--length", type=int, default=400)
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--huge", type=int, nargs=2, default=(16384, 32768),
+                    metavar=("QLEN", "TLEN"),
+                    help="chromosome-scale pair shape (0 0 skips the stage)")
     args = ap.parse_args()
 
     import aligner_tpu as at
@@ -58,6 +64,28 @@ def main():
         "metric": "full alignments/sec incl. traceback (400aa pairs)",
         "value": round(Bf / dt, 1), "unit": "alignments/s",
     }))
+
+    # one huge exact pair (checkpoint-and-replay + on-device walk)
+    C, R = args.huge
+    if C and R:
+        from aligner_tpu.ops.wavefront import align_single_global_chunked
+
+        hq = rng.integers(0, 24, C).astype(np.int8)
+        ht = rng.integers(0, 24, R).astype(np.int8)
+        Mn = np.asarray(M)
+        align_single_global_chunked(hq, ht, Mn, 11.0, 2.0)  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            align_single_global_chunked(hq, ht, Mn, 11.0, 2.0)
+            times.append(time.time() - t0)
+        dt = min(times)
+        print(json.dumps({
+            "metric": f"huge-pair exact alignment wall time ({C}x{R})",
+            "value": round(dt, 3), "unit": "s",
+            "gcells": round(C * R / 1e9, 2),
+            "gcups_effective": round(C * R / 1e9 / dt, 1),
+        }))
 
 
 if __name__ == "__main__":
