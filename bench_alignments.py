@@ -24,9 +24,14 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--length", type=int, default=400)
     ap.add_argument("--backend", default=None)
-    ap.add_argument("--huge", type=int, nargs=2, default=(16384, 32768),
+    ap.add_argument("--huge", type=int, nargs=2, default=(0, 0),
                     metavar=("QLEN", "TLEN"),
-                    help="chromosome-scale pair shape (0 0 skips the stage)")
+                    help="chromosome-scale pair shape, e.g. 16384 32768 "
+                         "(opt-in: the stage adds a fresh ~60 s kernel-"
+                         "variant compile through the tunnel plus warm + "
+                         "3 timed checkpoint-and-replay fills; default "
+                         "0 0 skips it so the default invocation stays "
+                         "fast and within the few-shape-variants rule)")
     args = ap.parse_args()
 
     import aligner_tpu as at

@@ -52,8 +52,11 @@ run tpu_tests 3600 env ALIGNER_TEST_PLATFORM=tpu \
 # 2. driver headline
 run bench_headline 1800 python bench.py
 
-# 3. alignments/sec incl. the on-device traceback (device walk default)
-run bench_alignments 2400 python bench_alignments.py
+# 3. alignments/sec incl. the on-device traceback (device walk default);
+#    the chromosome-scale stage is opt-in since round 4 — the validation
+#    pass is where it SHOULD run (ADVICE r3: commit a log backing the
+#    huge-pair wall-time figures)
+run bench_alignments 2400 python bench_alignments.py --huge 16384 32768
 
 # 4. single-pair wavefront marginals (row-scan + band-diagonal)
 run bench_wavefront_single 2400 python bench_wavefront_single.py
