@@ -362,12 +362,16 @@ def range_ok(qlen: int, tlen: int, del_, ext) -> bool:
     """int32-exactness guard: the kernel's arithmetic must stay well
     inside int32.  |H| is bounded by the deeper of the gap ramp
     (-(R+C+2)·max(del,ext) along the borders) and the match ramp
-    (min(R,C)·127 down the diagonal); the prefix-scan terms a + x·ext
-    add another (C+1)·ext + del on top.  Beyond this (≈97M rows at
-    del=11) scores silently wrap — refuse instead (ADVICE r2)."""
+    (min(R,C)·127 down the diagonal); the row-scan's prefix terms
+    a + x·ext add (C+1)·ext + del, and the band engines' hat
+    coordinates ĥ = h + d·ext add up to (C_pad + TB)·ext ≤
+    (C + R + 2·128)·ext (band step d never exceeds the padded width
+    plus band height).  Beyond this (≈97M rows at del=11) scores
+    silently wrap — refuse instead (ADVICE r2)."""
     pen = max(int(del_), int(ext), 1)
     h_abs = max((qlen + tlen + 2) * pen, min(qlen, tlen) * 127)
-    return h_abs + (qlen + 1) * max(int(ext), 1) + int(del_) < 2**30
+    slack = (qlen + tlen + 2 * LANES + 2) * max(int(ext), 1) + int(del_)
+    return h_abs + slack < 2**30
 
 
 def supported(qlen: int, matrix, del_, ext, tlen: int | None = None) -> bool:
@@ -1009,6 +1013,256 @@ def run_block_cs(
         interpret=interpret,
     )(pw, t_rows, h_prev, lbound, scalars)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Band-diagonal column-sharded block fill (round 4).  The row-scan block
+# engine above (run_block_cs) pays ~3*log2(Cb) vector ops per row for its
+# max-prefix-scan; the band formulation (see the band-diagonal section
+# comment) needs no scan at all.  This kernel is its column-sharded
+# generalization: the closed-form border column of the single-pair band
+# kernel becomes a STREAMED left-boundary column (received from the left
+# neighbor over ICI), and two extra captures produce what the pipeline
+# ships onward: the right-boundary column (one value per row, captured
+# as each lane exits its last column) and the block's bottom row (the
+# boundary-row stream — the next block's top row and the traceback's
+# H-row checkpoint).
+#
+# Dependence-chain rewrite (the round-3 "latency floor" fix): the band
+# kernel carried a roll → max → max → subtract chain (~4 dependent
+# vector ops/step), measured as a ~100-cycle/step floor that forced
+# TB=16384 (docs/PERF_NOTES.md §3).  Working in "hat" coordinates
+# ``ĥ_d = h_d + d·ext`` removes the penalty subtraction from the
+# recurrence entirely:
+#
+#     ĥ_d = max( u_{d-2} + (s + 2·ext),  u_{d-1},  ĥ_{d-1} ),
+#     u_d = flat_shift_right(ĥ_d, top-row fill)
+#
+# (u = the flat roll; the +2·ext folds into the score LUT bias), and
+# lanes not yet entered hold a NEG sentinel — the per-lane max is
+# monotone, so they stay inert until their entering step.  The per-step
+# critical path is two maxes with the roll issued in parallel; the score
+# extract, the entering-lane scalar streams, and all captures hang
+# off-chain.  De-hatting happens once per block at the boundaries
+# (outside the kernel for the streams, at finalize for rc/end).
+# Semantics: identical global recurrence as run_block_cs / the oracle
+# (simple/mod.rs:42-98; cell (1,1) del-penalty folded into the scalar
+# streams by the caller).  Scores/boundaries only — no directions (the
+# traceback replay path keeps run_block_cs, see wavefront_sp).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_band_cs(
+    t_ref,  # (S, 128) i32: target codes t[y_base + j] per lane (VMEM)
+    q_ref,  # (1, 1, TD) i32 SMEM: local query-code stream, slot k = q[d-1]
+    f_ref,  # (1, 1, TD) i32 SMEM: PRE-HATTED top-row fill stream,
+    # slot k = H[y_base, x=d] + (d-1)·ext (is11 up-correction folded in)
+    c1_ref,  # (1, 1, TD) i32 SMEM: entering-lane diag scalar stream,
+    # slot k = lb[d-1] + (d-2)·ext
+    c2_ref,  # (1, 1, TD) i32 SMEM: entering-lane left scalar stream,
+    # slot k = lb[d] + (d-1)·ext (is11 left-correction folded in)
+    fd_ref,  # (1, 1, TD) i32 SMEM: lane-0 diag scalar stream, slot k =
+    # H[y_base, x=d-1] + (d-2)·ext, UNcorrected.  Lane 0's diagonal
+    # cannot come from the u2 carry: the roll fill does double duty (up
+    # at step d, diag at step d+1) and the (1,1) del-up correction in
+    # the f stream must not leak into the next cell's diagonal
+    pmat_ref,  # (n_words, V) i32 SMEM: packed matrix TRANSPOSE (t fixed
+    # per lane, q streams — the band-kernel lookup orientation)
+    scal_ref,  # (1, 3) i32 SMEM: [j_end, d_end, owned] — end-cell lane,
+    # its capture step, and whether this block owns H[tlen, qlen]; all
+    # traced so one compiled program serves every pair in a padded bucket
+    rb_ref,  # (TD//128, 1, 128) i32 out chunk (VMEM): bottom-row stream
+    # in HAT coordinates; flat slot k = ĥ at step d=k+1 of lane TB-1
+    rc_ref,  # (S, 128) i32 out (VMEM): right-boundary column, PLAIN —
+    # flat j = H[y_base + j + 1, x0 + Cb]
+    end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen] if owned else 0
+    a_ref,  # (S, 128) scratch: ĥ of the previous step
+    u2_ref,  # (S, 128) scratch: roll(ĥ) from two steps back
+    qrow_ref,  # (S, 128) scratch: q codes per lane on this diagonal
+    eacc_ref,  # (S, 128) scratch: end-cell accumulator (hat)
+    rcs_ref,  # (S, 128) scratch: right-boundary accumulator (hat)
+    pw_ref,  # (n_words, S, 128) scratch: packed score words by t symbol
+    *,
+    S: int,
+    TD: int,
+    V: int,
+    Cb: int,
+    ext: int,
+    lut_bits: int,
+    bias2: int,  # lut_bias + 2·ext (nibble) / 2·ext - 128 (byte) folded
+    with_rc: bool,
+):
+    from .pallas_dp import _bit_select
+
+    i = pl.program_id(0)
+    per_word = 8 if lut_bits == 4 else 4
+    n_words = _cdiv(V, per_word)
+    P = jnp.int32(ext)
+    sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    lane1 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    flat = sub * LANES + lane  # local row j = y - y_base - 1
+    j_end = scal_ref[0, 0]
+    d_end = scal_ref[0, 1]
+    owned = scal_ref[0, 2]
+    emask = flat == j_end  # end-cell lane mask (per-block constant)
+    first = flat == 0  # lane 0 (its diag comes from the fd stream)
+
+    @pl.when(i == 0)
+    def _init():
+        tx = t_ref[:]
+        for g in range(n_words):
+            w = jnp.zeros((S, LANES), jnp.int32)
+            for v in range(V):
+                w = w + pmat_ref[g, v] * (tx == v).astype(jnp.int32)
+            pw_ref[g] = w
+        a_ref[:] = jnp.full((S, LANES), NEG_I32, jnp.int32)
+        u2_ref[:] = jnp.full((S, LANES), NEG_I32, jnp.int32)
+        qrow_ref[:] = jnp.zeros((S, LANES), jnp.int32)
+        eacc_ref[:] = jnp.zeros((S, LANES), jnp.int32)
+        rcs_ref[:] = jnp.zeros((S, LANES), jnp.int32)
+
+    pw = [pw_ref[g] for g in range(n_words)]
+
+    def step(k, carry):
+        a, u2, qrow, eacc, rcs, racc = carry
+        d = i * TD + k + 1  # 1-based band step; lane j: (y_base+j+1, d-j)
+        # --- off-chain: score extract + entering-lane scalars ---
+        qrow = _flat_shift_right(qrow, q_ref[0, 0, k], S)
+        if lut_bits == 4:
+            w = _bit_select(pw, qrow, start_bit=8)
+            s2 = ((w >> ((qrow & 7) << 2)) & 15) + bias2
+        else:
+            w = _bit_select(pw, qrow, start_bit=4)
+            s2 = ((w >> ((qrow & 3) << 3)) & 255) + bias2
+        A = u2 + s2
+        A = jnp.where(first, s2 + fd_ref[0, 0, k], A)
+        entering = flat == d - 1
+        Ae = jnp.maximum(s2 + c1_ref[0, 0, k], c2_ref[0, 0, k])
+        A = jnp.where(entering, Ae, A)
+        # --- the 2-deep chain: max ∥ roll, then max ---
+        t1 = jnp.maximum(A, a)
+        u1 = _flat_shift_right(a, f_ref[0, 0, k], S)
+        h = jnp.maximum(t1, u1)
+        # --- captures (off-chain) ---
+        eacc = jnp.where(emask & (d == d_end), h, eacc)
+        if with_rc:
+            rcs = jnp.where(flat == d - Cb, h, rcs)
+        tail = pltpu.roll(h[S - 1 : S, :], shift=(k + 1) % LANES, axis=1)
+        racc = jnp.where(lane1 == k % LANES, tail, racc)
+
+        @pl.when(k % LANES == LANES - 1)
+        def _store():
+            rb_ref[k // LANES] = racc
+
+        return (h, u1, qrow, eacc, rcs, racc)
+
+    a, u2, qrow, eacc, rcs, _ = lax.fori_loop(
+        0, TD, step,
+        (a_ref[:], u2_ref[:], qrow_ref[:], eacc_ref[:], rcs_ref[:],
+         jnp.zeros((1, LANES), jnp.int32)),
+    )
+    a_ref[:] = a
+    u2_ref[:] = u2
+    qrow_ref[:] = qrow
+    eacc_ref[:] = eacc
+    rcs_ref[:] = rcs
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _fin():
+        # de-hat: lane j's right-boundary cell was captured at step
+        # d = Cb + j; the end cell at step d_end
+        if with_rc:
+            rc_ref[:] = rcs - (flat + Cb) * P
+        else:
+            rc_ref[:] = jnp.zeros((S, LANES), jnp.int32)
+        end_ref[0, 0] = jnp.where(
+            owned == 1, jnp.sum(eacc) - d_end * P, jnp.int32(0)
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "TD", "V", "Cb", "ext", "lut_bits", "bias2",
+        "interpret", "with_rc",
+    ),
+)
+def run_block_band(
+    t_band,  # (S, 128) i32 target codes of this row block
+    q_chunks,  # (n_chunks, 1, TD) i32 local query-code stream
+    f_chunks,  # (n_chunks, 1, TD) i32 pre-hatted top-row fill stream
+    c1_chunks,  # (n_chunks, 1, TD) i32 entering-lane diag scalars
+    c2_chunks,  # (n_chunks, 1, TD) i32 entering-lane left scalars
+    fd_chunks,  # (n_chunks, 1, TD) i32 lane-0 diag scalars (clean)
+    pmat,  # (n_words, V) i32 packed matrix transpose
+    scal,  # (1, 3) i32: [j_end, d_end, owned]
+    *,
+    S: int,
+    TD: int,
+    V: int,
+    Cb: int,
+    ext: int,
+    lut_bits: int,
+    bias2: int,
+    interpret: bool,
+    with_rc: bool = True,
+):
+    """One band-diagonal column-sharded block fill (TB = S·128 rows ×
+    Cb columns).  Returns ``(rb, rc, end)``: the bottom-row stream in
+    hat coordinates ((n_chunks·TD/128, 1, 128); de-hat with
+    ``- (slot+1)·ext``), the plain right-boundary column ((S, 128), flat
+    j = row y_base+j+1), and H[tlen, qlen] if owned (see
+    :func:`_kernel_band_cs` for the stream contracts)."""
+    n_chunks = q_chunks.shape[0]
+    assert TD % LANES == 0, "TD must be a multiple of 128 (rb grouping)"
+    G = TD // LANES
+    kernel = functools.partial(
+        _kernel_band_cs,
+        S=S, TD=TD, V=V, Cb=Cb, ext=ext,
+        lut_bits=lut_bits, bias2=bias2, with_rc=with_rc,
+    )
+    per_word = 8 if lut_bits == 4 else 4
+    n_words = _cdiv(V, per_word)
+    stream = lambda: pl.BlockSpec(  # noqa: E731
+        (1, 1, TD), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((S, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            stream(), stream(), stream(), stream(), stream(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, 1, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks * G, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S, LANES), jnp.int32),  # a (prev step ĥ)
+            pltpu.VMEM((S, LANES), jnp.int32),  # u2 (2-ago roll)
+            pltpu.VMEM((S, LANES), jnp.int32),  # qrow
+            pltpu.VMEM((S, LANES), jnp.int32),  # eacc
+            pltpu.VMEM((S, LANES), jnp.int32),  # rcs
+            pltpu.VMEM((n_words, S, LANES), jnp.int32),  # pw
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(t_band, q_chunks, f_chunks, c1_chunks, c2_chunks, fd_chunks, pmat,
+      scal)
 
 
 def walk_tile_inner(get_d, y, x, n, buf):

@@ -17,10 +17,13 @@ right-boundary vector hops one device over ICI (``lax.ppermute``).
 With J row blocks the pipeline runs J + n - 1 steps: efficiency
 J/(J+n-1) → 1 for long targets.
 
-Two per-device block engines: "pallas" (ops/wavefront.run_block_cs, the
-speed path, int8 matrices) and "lax" (portable gather + ``lax.cummax``,
-any integral matrix, no width cap).  Both are bit-identical to the
-float64 oracle via int32 arithmetic.
+Three per-device block engines: "band" (ops/wavefront.run_block_band,
+round 4 — the scan-free band-diagonal formulation with a 2-deep
+dependence chain, the forward speed path; int8 matrices), "pallas"
+(ops/wavefront.run_block_cs, the row-scan formulation — also the
+direction-emitting replay engine of the traceback), and "lax"
+(portable gather + ``lax.cummax``, any integral matrix, no width cap).
+All are bit-identical to the float64 oracle via int32 arithmetic.
 
 Exact alignments (not just end scores): the forward pipeline
 additionally records (a) one H-row checkpoint every ``tb_rows`` rows
@@ -65,7 +68,12 @@ def _cdiv(a, b):
 
 def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
                   tb_rows=None):
-    """Shared operand prep + validation for the sharded entry points."""
+    """Shared operand prep + validation for the sharded entry points.
+
+    ``engine`` ∈ {"pallas" (row-scan block kernel), "band" (band-
+    diagonal block kernel, round 4 — scores/boundaries only, so the
+    traceback replay uses the row-scan kernel), "lax"}.
+    """
     from ..backend import on_tpu as _on_tpu
     from ..ops.wavefront import range_ok
 
@@ -87,14 +95,18 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
         )
     if engine is None:
         engine = "pallas" if _on_tpu() else "lax"
-    if engine == "pallas" and np.abs(np.round(matrix)).max(initial=0) > 127:
+    if engine in ("pallas", "band") and (
+        np.abs(np.round(matrix)).max(initial=0) > 127
+    ):
         # the packed-byte score words need int8 entries; the lax block
         # fill handles any integral matrix exactly
         engine = "lax"
     if engine == "pallas" and _cdiv(_cdiv(len(q), n), 128) * 128 > MAX_CB:
-        # per-device column block past the VMEM budget of the pallas
-        # block engine (same bound family as ops.wavefront.MAX_WIDTH) —
-        # the lax engine streams rows through XLA with no width cap
+        # per-device column block past the VMEM budget of the row-scan
+        # pallas block engine (same bound family as
+        # ops.wavefront.MAX_WIDTH) — the lax engine streams rows through
+        # XLA with no width cap.  (The band engine has no Cb cap: its
+        # packed words are over the TB rows, not the Cb columns.)
         engine = "lax"
     if interpret is None:
         interpret = not _on_tpu()
@@ -102,20 +114,28 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
     t = np.asarray(t, np.int32)
     V = matrix.shape[0]
     C_real, R_real = len(q), len(t)
-    if engine == "pallas":
+    if engine in ("pallas", "band"):
         # lane-aligned column blocks so each device holds (S_loc, 128)
         Cb = _cdiv(_cdiv(C_real, n), 128) * 128
+        S_loc = max(Cb // 128, 1)
     else:
         Cb = _cdiv(C_real, n)
-    S_loc = max(Cb // 128, 1) if engine == "pallas" else None
+        S_loc = None
+    if engine == "band":
+        # band lanes are rows: tr must be a 128 multiple, and clamping
+        # it to the padded target length keeps the hat-coordinate step
+        # count within range_ok's slack (and avoids filling pure padding)
+        tr = max(128, min(
+            _cdiv(tr, 128) * 128, _cdiv(max(R_real, 1), 128) * 128
+        ))
     C_pad = Cb * n
     qp = np.full(C_pad, V, np.int32)
     qp[:C_real] = q
     J = _cdiv(R_real, tr)
     stride = n_ck = None
-    replay_engine = engine
+    replay_engine = "pallas" if engine in ("pallas", "band") else "lax"
     if tb_rows is not None:
-        if engine == "pallas":
+        if replay_engine == "pallas":
             # bound the replayed direction tile to the VMEM budget:
             # (36 + TB/4)·Cb bytes must fit.  If even TB=tr does not,
             # replay tiles via the lax engine (bit-identical dirs; the
@@ -137,29 +157,49 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
     tp[:R_real] = t
     mat_i32 = jnp.asarray(np.round(matrix).astype(np.int32))
     mi = mat_i32
+    mi_replay = None
+    lut_bits = bias2 = 0
     if engine == "pallas":
         from ..ops.wavefront import pack_matrix_words
 
         mi = jnp.asarray(pack_matrix_words(matrix))
+    elif engine == "band":
+        from ..ops.wavefront import pack_matrix_nibbles, pack_matrix_words
+
+        mrnd = np.round(matrix).astype(np.int64)
+        if int(mrnd.max()) - int(mrnd.min()) <= 15:
+            pmat, bias = pack_matrix_nibbles(matrix.T)
+            lut_bits, bias2 = 4, bias + 2 * int(ext)
+        else:
+            pmat = pack_matrix_words(matrix.T)
+            lut_bits, bias2 = 8, 2 * int(ext) - 128
+        mi = jnp.asarray(pmat)
+        if tb_rows is not None and replay_engine == "pallas":
+            mi_replay = jnp.asarray(pack_matrix_words(matrix))
     return dict(
         axis=axis, n=n, engine=engine, interpret=bool(interpret),
         q=q, t=t, V=V, C_real=C_real, R_real=R_real,
         Cb=Cb, S_loc=S_loc, C_pad=C_pad, qp=qp,
-        J=J, R_pad=R_pad, tp=tp, mi=mi,
+        J=J, R_pad=R_pad, tp=tp, mi=mi, tr=tr,
         DEL=np.int32(int(del_)), EXT=np.int32(int(ext)),
         stride=stride, n_ck=n_ck, replay_engine=replay_engine,
-        mat_i32=mat_i32,
+        mat_i32=mat_i32, mi_replay=mi_replay,
+        lut_bits=lut_bits, bias2=bias2,
     )
 
 
-def _pipeline(mesh, pp, tr, with_trace: bool):
+BAND_TD = 512  # SMEM stream chunk length of the band block engine
+
+
+def _pipeline(mesh, pp, with_trace: bool):
     """Build (cached) + run the jitted shard_map pipeline.  Returns
     ``end`` or ``(end, lb_hist (n, R_pad), ckpts (n_ck, C_pad))``."""
     run = _build_pipeline(
         mesh, pp["axis"], pp["n"], pp["engine"], pp["interpret"],
         pp["V"], pp["Cb"], pp["S_loc"],
         pp["J"], pp["R_pad"], int(pp["DEL"]), int(pp["EXT"]),
-        pp["stride"], pp["n_ck"], tr, with_trace,
+        pp["stride"], pp["n_ck"], pp["tr"], with_trace,
+        pp["lut_bits"], pp["bias2"],
     )
     lens = jnp.asarray([pp["C_real"], pp["R_real"]], jnp.int32)
     return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"],
@@ -169,7 +209,7 @@ def _pipeline(mesh, pp, tr, with_trace: bool):
 @functools.lru_cache(maxsize=64)
 def _build_pipeline(mesh, axis, n, engine, interpret, V,
                     Cb, S_loc, J, R_pad, del_i, ext_i, stride, n_ck, tr,
-                    with_trace):
+                    with_trace, lut_bits=0, bias2=0):
     """The jitted shard_map program, cached on its static parameters —
     rebuilding the jit wrapper per call would retrace the whole J-step
     pipeline every time (~0.4 s constant overhead per invocation
@@ -216,6 +256,102 @@ def _build_pipeline(mesh, axis, n, engine, interpret, V,
 
             # per-query score table: once per device, reused every step
             pw = pack_query_words(q_local.reshape(S_loc, 128), mat, V)
+        if engine == "band":
+            from ..ops.wavefront import run_block_band
+
+            D_pad = _cdiv(Cb + tr - 1, BAND_TD) * BAND_TD
+            n_chunks = D_pad // BAND_TD
+            S_band = tr // 128
+            dvec = jnp.arange(D_pad, dtype=jnp.int32) + 1  # band step d
+            khat = (dvec - 1) * EXT  # the hat offset of stream slot d-1
+            # local query-code stream, padded with V past the block
+            qs = jnp.concatenate([
+                q_local, jnp.full(D_pad - Cb, V, jnp.int32)
+            ]).reshape(n_chunks, 1, BAND_TD)
+            # top-row stream of block 0 = the global border row (pre-
+            # hatted, UNcorrected — the (1,1) del-up correction is
+            # applied per block when building the fill stream, so the
+            # carried stream stays clean for the fd diag reads)
+            xgd = x0 + dvec  # global 1-based column of lane 0 at step d
+            prev0 = jnp.where(
+                xgd == C_real, -(C_real + 1) * DEL, -xgd * DEL
+            ) + khat
+
+        def pipe_step_band(k, state):
+            prev, end, bound_in, last_bound, lb_acc, ck_acc = state
+            j = k - d  # this device's row block this step
+            active = (j >= 0) & (j < J)
+            jc = jnp.clip(j, 0, J - 1)
+            t_rows = lax.dynamic_slice(t_full, (jc * tr,), (tr,))
+            ys = jc * tr + 1 + jnp.arange(tr, dtype=jnp.int32)
+            borders = border(ys)
+            bl_cur = jnp.where(d == 0, borders, bound_in)
+            lb = jnp.concatenate([last_bound[None], bl_cur])
+            # entering-lane scalar streams (lane j enters at step j+1
+            # with diag lb[j] and left lb[j+1]; only slots < tr are read)
+            lbp = jnp.zeros(D_pad, jnp.int32).at[:tr].set(lb[:tr])
+            lbc = jnp.zeros(D_pad, jnp.int32).at[:tr].set(lb[1:])
+            c1 = lbp + (dvec - 2) * EXT
+            c2 = lbc + (dvec - 1) * EXT
+            c2 = c2.at[0].add(
+                jnp.where((jc == 0) & (d == 0), -(DEL - EXT), 0)
+            )
+            # fill stream: the carried prev with the (1,1) del-up
+            # correction (simple/mod.rs:72 — the only del-penalty cell);
+            # lane-0 diag stream: the CLEAN prev shifted one slot
+            f = prev.at[0].add(
+                jnp.where((jc == 0) & (d == 0), -(DEL - EXT), 0)
+            )
+            fd = jnp.concatenate([jnp.zeros(1, jnp.int32), prev[:-1]])
+            j_end_ = jnp.int32(R_real) - 1 - jc * tr
+            x_loc = jnp.int32(C_real) - x0
+            d_end_ = x_loc + j_end_
+            owns = (
+                active
+                & (j_end_ >= 0) & (j_end_ < tr)
+                & (x_loc >= 1) & (x_loc <= Cb)
+            )
+            scal = jnp.stack(
+                [j_end_, d_end_, owns.astype(jnp.int32)]
+            ).reshape(1, 3)
+            rb, rc, endv = run_block_band(
+                t_rows.reshape(S_band, 128),
+                qs,
+                f.reshape(n_chunks, 1, BAND_TD),
+                c1.reshape(n_chunks, 1, BAND_TD),
+                c2.reshape(n_chunks, 1, BAND_TD),
+                fd.reshape(n_chunks, 1, BAND_TD),
+                mat, scal,
+                S=S_band, TD=BAND_TD, V=V, Cb=Cb, ext=ext_i,
+                lut_bits=lut_bits, bias2=bias2, interpret=interpret,
+            )
+            # bottom-row stream (hat, slot k ↔ x = k+1-(tr-1)) → next
+            # block's top-row stream (hat, slot k ↔ x = k+1): the de-hat
+            # + slot shift + re-hat telescope to one constant offset
+            rb_flat = rb.reshape(D_pad)
+            new_prev = jnp.concatenate(
+                [rb_flat[tr - 1:], jnp.zeros(tr - 1, jnp.int32)]
+            ) - tr * EXT
+            rights = rc.reshape(tr)
+            prev = jnp.where(active, new_prev, prev)
+            end = jnp.where(owns, endv[0, 0], end)
+            rights = jnp.where(active, rights, jnp.zeros_like(rights))
+            new_last = jnp.where(active, bl_cur[-1], last_bound)
+            if with_trace:
+                lb_at = jnp.where(active, jc * tr, jnp.int32(R_pad))
+                lb_acc = lax.dynamic_update_slice(lb_acc, bl_cur, (lb_at,))
+                is_ck = active & ((jc + 1) % stride == 0)
+                ck_at = jnp.where(
+                    is_ck, (jc + 1) // stride - 1, jnp.int32(n_ck)
+                )
+                ck_row = prev[:Cb] - khat[:Cb]  # de-hatted H row
+                ck_acc = lax.dynamic_update_slice(
+                    ck_acc, ck_row[None], (ck_at, jnp.int32(0))
+                )
+            bound_next = lax.ppermute(
+                rights, axis, [(i, (i + 1) % n) for i in range(n)]
+            )
+            return (prev, end, bound_next, new_last, lb_acc, ck_acc)
 
         def row_fill(carry, inputs):
             prev, end = carry
@@ -322,7 +458,7 @@ def _build_pipeline(mesh, axis, n, engine, interpret, V,
             lb_acc0 = jnp.zeros((), jnp.int32)
             ck_acc0 = jnp.zeros((), jnp.int32)
         init = (
-            h0,
+            prev0 if engine == "band" else h0,
             jnp.int32(NEG),
             jnp.zeros(tr, jnp.int32),
             lb0,
@@ -330,7 +466,9 @@ def _build_pipeline(mesh, axis, n, engine, interpret, V,
             ck_acc0,
         )
         prev, end, _, _, lb_acc, ck_acc = lax.fori_loop(
-            0, J + n - 1, pipe_step, init
+            0, J + n - 1,
+            pipe_step_band if engine == "band" else pipe_step,
+            init,
         )
         del prev
         end = jax.lax.psum(jnp.where(end == NEG, 0, end), axis)
@@ -359,13 +497,16 @@ def sharded_global_end_score(
     (int32 arithmetic — bit-exact vs the oracle).
 
     ``engine``: "pallas" runs each device's row-block through the
-    column-sharded wavefront kernel (ops/wavefront.run_block_cs — the
-    per-device speed path); "lax" uses the portable gather+cummax block
-    fill.  Default: pallas on TPU, lax elsewhere.
+    column-sharded row-scan kernel (ops/wavefront.run_block_cs);
+    "band" through the scan-free band-diagonal block kernel
+    (ops/wavefront.run_block_band — the per-device speed path at
+    band-height ``tr``, which it rounds to a multiple of 128); "lax"
+    uses the portable gather+cummax block fill.  Default: pallas on
+    TPU, lax elsewhere.
     """
     pp = _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine,
                        interpret)
-    out = _pipeline(mesh, pp, tr, with_trace=False)
+    out = _pipeline(mesh, pp, with_trace=False)
     return float(np.asarray(out))
 
 
@@ -375,15 +516,16 @@ def _lax_tile_dirs(q_codes, mat, t_rows, h0, lb, x0, y_base,
     replay engine matching the "lax" forward fill.  Bit-identical
     recurrence; dirs by the exact tie policy (top > left > diagonal).
 
-    NOTE: this recurrence intentionally exists in three forms (the
-    pipeline's ``row_fill``, this replay, and the pallas
-    ``_kernel_block_cs``) because each runs in a different execution
-    context (shard_map scan / host-driven replay / Mosaic kernel) with
-    different operand layouts.  Any edit to one MUST be mirrored in the
-    others; the parity suite pins all three bit-for-bit against the f64
-    oracle on every run (test_wavefront_sp: forward end-scores AND
-    replayed-walk alignments for both engines), so a missed mirror
-    cannot land green."""
+    NOTE: this recurrence intentionally exists in four forms (the
+    pipeline's ``row_fill``, this replay, the pallas
+    ``_kernel_block_cs``, and the band-diagonal ``_kernel_band_cs``)
+    because each runs in a different execution context (shard_map scan
+    / host-driven replay / Mosaic kernel) with different operand
+    layouts.  Any edit to one MUST be mirrored in the others; the
+    parity suite pins all four bit-for-bit against the f64 oracle on
+    every run (test_wavefront_sp: forward end-scores AND replayed-walk
+    alignments for every engine), so a missed mirror cannot land
+    green."""
     Cb = q_codes.shape[0]
     xg = x0 + jnp.arange(Cb, dtype=jnp.int32)
     xp = (xg + 1) * EXT
@@ -577,9 +719,10 @@ def sharded_global_align(
     Cb, n, engine = pp["Cb"], pp["n"], pp["engine"]
     replay_engine = pp["replay_engine"]
     stride, n_ck = pp["stride"], pp["n_ck"]
+    tr = pp["tr"]  # band engine may have rounded/clamped it
     TB = stride * tr
 
-    end_dev, lb_hist_dev, ckpts_dev = _pipeline(mesh, pp, tr, with_trace=True)
+    end_dev, lb_hist_dev, ckpts_dev = _pipeline(mesh, pp, with_trace=True)
     end = float(np.asarray(end_dev))
     lb_hist = np.asarray(lb_hist_dev)  # (n, R_pad): H[y, x0_d], y = 1..R_pad
     ckpts = np.asarray(ckpts_dev)  # (n_ck, C_pad): H[(k+1)*TB, 1..C_pad]
@@ -600,7 +743,9 @@ def sharded_global_align(
         )
 
         S_loc = pp["S_loc"]
-        pmat = pp["mi"]
+        # the replay kernel (run_block_cs) wants the row-scan word
+        # layout; a band forward ships its own transposed pack in mi
+        pmat = pp["mi_replay"] if engine == "band" else pp["mi"]
         pw_cache: dict[int, jax.Array] = {}
 
     def _tile_inputs(j: int, d: int):
