@@ -489,14 +489,20 @@ def fill_single_global(
 #           band) selected by the q-code stream that rolls one lane per
 #           step — the mirror image of the row kernel's lookup.
 #
-# ~24 vector ops per step, every lane a real cell: ~3.4x the row-scan
-# engine measured at 64k x 64k.  Bands hand off through their boundary
-# row (the rb stream), which is also exactly the H-row checkpoint the
-# chunked traceback wants.  Trade-off: no direction planes in row
-# layout — alignment requests keep the row-scan + replay path; this
-# engine serves end scores (and boundary rows).  Cites:
-# simple/mod.rs:42-98 (global fill; the tie policy is irrelevant here —
-# no directions are derived).
+# Bands hand off through their boundary row (the rb stream), which is
+# also exactly the H-row checkpoint the chunked traceback wants.
+# Trade-off: no direction planes in row layout — alignment requests
+# keep the row-scan + replay path; this engine serves end scores (and
+# boundary rows).  Cites: simple/mod.rs:42-98 (global fill; the tie
+# policy is irrelevant here — no directions are derived).
+#
+# Since round 4 the per-band compute is :func:`run_block_band` (the
+# column-sharded band kernel, defined with the sharded section below):
+# the single-pair path is its x0 = 0, n = 1 specialization with the
+# closed-form border column streamed as the left boundary — one kernel
+# formulation serves both, and the unrolled short-chain rewrite lifted
+# the measured 64k x 64k rate from 67.7 (round-3 kernel) to 124.7
+# GCUPS (docs/PERF_NOTES.md round-4 section).
 # ---------------------------------------------------------------------------
 
 
@@ -527,240 +533,95 @@ def pack_matrix_nibbles(matrix: np.ndarray) -> tuple[np.ndarray, int]:
 NEG_I32 = -(2**30)
 
 
-def _kernel_band(
-    t_ref,  # (S, 128) i32: this band's target codes, t[band_base + j]
-    q_ref,  # (1, 1, TD) i32 q-code stream chunk (SMEM): q[d-1] at step d
-    prev_ref,  # (1, 1, TD) i32 boundary-row stream chunk (SMEM):
-    # H[band_base, x = d] at slot d-1
-    pmat_ref,  # (n_words, V) i32 packed matrix TRANSPOSE (SMEM) — the
-    # lookup is mirrored vs the row kernel: t fixed per lane, q streams
-    scal_ref,  # (1, 4) i32 SMEM: [band_base, d_cap, C_real, R_real] —
-    # the real lengths are traced so one compiled band program serves
-    # every pair in the same padded bucket (see _kernel's scal_ref note)
-    rb_ref,  # (TD//128, 1, 128) i32 out chunk (VMEM): boundary row —
-    # flat slot k holds H[band_end, x = k+1-(TB-1)], rotate+mask
-    # accumulated and stored every 128 steps.  (Measured alternatives:
-    # a per-step SMEM scalar write of h[S-1,-1] stalls the vector
-    # pipeline, 2x slower at small TB; a per-step full-tail-row VMEM
-    # store with a dynamic leading index costs ~10% more than the
-    # rotate.)
-    end_ref,  # (1, 1) i32 out (SMEM): H[tlen, qlen] or NEG sentinel
-    a_ref,  # (S, 128) scratch: H on the previous band diagonal
-    uc_ref,  # (S, 128) scratch: previous step's shifted ``up`` — this
-    # step's diagonal input (the fills line up exactly, see the section
-    # comment)
-    qrow_ref,  # (S, 128) scratch: q codes per lane on this diagonal
-    eacc_ref,  # (S, 128) scratch: end-cell accumulator (vector capture;
-    # a traced per-step branch costs a pipeline bubble)
-    pw_ref,  # (n_words, S, 128) scratch: packed score words by t symbol
-    *,
-    S: int,
-    TD: int,
-    V: int,
-    del_: int,
-    ext: int,
-    lut_bits: int,
-    lut_bias: int,
-):
-    from .pallas_dp import _bit_select
-
-    i = pl.program_id(0)
-    per_word = 8 if lut_bits == 4 else 4
-    n_words = _cdiv(V, per_word)
-    P = jnp.int32(ext)
-    DEL = jnp.int32(del_)
-    sub = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
-    lane = lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
-    lane1 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    flat = sub * LANES + lane  # local row j = y - band_base - 1
-    TB = S * LANES
-
-    band_base = scal_ref[0, 0]
-    d_cap = scal_ref[0, 1]
-    C_real = scal_ref[0, 2]
-    R_real = scal_ref[0, 3]
-    # end-cell lane mask, hoisted (d_cap is per-band constant)
-    emask = flat == d_cap - C_real
-
-    @pl.when(i == 0)
-    def _init():
-        tx = t_ref[:]
-        for g in range(n_words):
-            w = jnp.zeros((S, LANES), jnp.int32)
-            for v in range(V):
-                w = w + pmat_ref[g, v] * (tx == v).astype(jnp.int32)
-            pw_ref[g] = w
-        a_ref[:] = jnp.zeros((S, LANES), jnp.int32)
-        uc_ref[:] = jnp.zeros((S, LANES), jnp.int32)
-        qrow_ref[:] = jnp.zeros((S, LANES), jnp.int32)
-        eacc_ref[:] = jnp.zeros((S, LANES), jnp.int32)
-
-    pw = [pw_ref[g] for g in range(n_words)]
-
-    def step(k, carry):
-        a, uc, qrow, eacc, racc = carry
-        d = i * TD + k + 1  # 1-based band step; lane j: (base+j+1, d-j)
-        qrow = _flat_shift_right(qrow, q_ref[0, 0, k], S)
-        if lut_bits == 4:
-            w = _bit_select(pw, qrow, start_bit=8)
-            s = ((w >> ((qrow & 7) << 2)) & 15) + lut_bias
-        else:
-            w = _bit_select(pw, qrow, start_bit=4)
-            s = ((w >> ((qrow & 3) << 3)) & 255) - 128
-        up = _flat_shift_right(a, prev_ref[0, 0, k], S)
-        # lane j = d-1 is at x == 1: its left is the border column
-        # H[y, 0] with y = band_base + d, and its diagonal H[y-1, 0] —
-        # the up-carry holds junk for an entering lane (far-corner
-        # overwrite per simple/mod.rs:59-70 on both)
-        y1 = band_base + d
-        bc = jnp.where(y1 == R_real, -(R_real + 1) * DEL, -y1 * DEL)
-        bc_up = jnp.where(
-            y1 - 1 == R_real, -(R_real + 1) * DEL, -(y1 - 1) * DEL
-        )
-        entering = flat == d - 1
-        left = jnp.where(entering, bc, a)
-        diag = jnp.where(entering, bc_up, uc)
-        # cell (1,1) is the only del-penalty cell (simple/mod.rs:72)
-        pen = jnp.where((band_base == 0) & (d == 1), DEL, P)
-        h = jnp.maximum(diag + s, jnp.maximum(up, left) - pen)
-        # end-cell capture, vector-accumulated (no per-step branch)
-        eacc = jnp.where((d == d_cap) & emask, h, eacc)
-        # boundary-row capture: rotate the tail row so its last lane
-        # parks at lane k%128, mask it in, store every 128 steps (each
-        # lane is freshly rewritten between stores — no reset needed)
-        tail = pltpu.roll(h[S - 1:S, :], shift=(k + 1) % LANES, axis=1)
-        racc = jnp.where(lane1 == k % LANES, tail, racc)
-        @pl.when(k % LANES == LANES - 1)
-        def _store():
-            rb_ref[k // LANES] = racc
-        return (h, up, qrow, eacc, racc)
-
-    a, uc, qrow, eacc, _ = lax.fori_loop(
-        0, TD, step,
-        (a_ref[:], uc_ref[:], qrow_ref[:], eacc_ref[:],
-         jnp.zeros((1, LANES), jnp.int32)),
-    )
-    a_ref[:] = a
-    uc_ref[:] = uc
-    qrow_ref[:] = qrow
-    eacc_ref[:] = eacc
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _fin():
-        end_ref[0, 0] = jnp.where(
-            d_cap >= 1, jnp.sum(eacc), jnp.int32(NEG_I32)
-        )
-
-
-def _run_band_single(t_band, q_chunks, prev_chunks, pmat, scal, *,
-                     S, TD, V, del_, ext,
-                     lut_bits, lut_bias, interpret):
-    """One band: returns (rb (n_chunks*TD//128, 1, 128), end (1, 1))."""
-    n_chunks = q_chunks.shape[0]
-    assert TD % LANES == 0, "TD must be a multiple of 128 (rb grouping)"
-    G = TD // LANES  # 128-step groups per chunk
-    kernel = functools.partial(
-        _kernel_band,
-        S=S, TD=TD, V=V,
-        del_=del_, ext=ext, lut_bits=lut_bits, lut_bias=lut_bias,
-    )
-    per_word = 8 if lut_bits == 4 else 4
-    n_words = _cdiv(V, per_word)
-    return pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((S, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TD), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TD), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((G, 1, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_chunks * G, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((S, LANES), jnp.int32),  # a (prev diagonal)
-            pltpu.VMEM((S, LANES), jnp.int32),  # uc (diag carry)
-            pltpu.VMEM((S, LANES), jnp.int32),  # qrow
-            pltpu.VMEM((S, LANES), jnp.int32),  # eacc
-            pltpu.VMEM((n_words, S, LANES), jnp.int32),  # pw
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )(t_band, q_chunks, prev_chunks, pmat, scal)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "TD", "V", "del_", "ext", "lut_bits",
-        "lut_bias", "interpret",
+        "S", "TD", "V", "Cb", "del_", "ext", "lut_bits", "bias2",
+        "interpret",
     ),
 )
 def _run_band(
-    t_bands,  # (n_bands, S, 128) i32
-    q_chunks,  # (n_chunks, 1, TD) i32: q[d-1] at flat slot d-1
-    brow_stream,  # (n_chunks, 1, TD) i32: H[0, x=d] at slot d-1
+    t_bands,  # (n_bands, S, 128) i32 target codes, lanes = band rows
+    qs,  # (n_chunks, 1, TD) i32 query-code stream (padded with V)
     pmat,  # (n_words, V) i32 packed matrix transpose
+    lens,  # (2,) i32 [C_real, R_real] — TRACED, so one compiled program
+    # serves every pair in the same padded bucket (compile-bucket lever)
     *,
     S: int,
     TD: int,
     V: int,
-    C_real,  # TRACED — one compile per padded bucket, see _kernel_band
-    R_real,
+    Cb: int,
     del_: int,
     ext: int,
     lut_bits: int,
-    lut_bias: int,
+    bias2: int,
     interpret: bool,
 ):
+    """Single-pair band scan: ``lax.scan`` over TB-row bands, each
+    filled by :func:`run_block_band` with the closed-form global border
+    column as its left boundary (the x0 = 0, n = 1 specialization of
+    the sharded pipeline — ONE kernel formulation serves both).
+    Returns the exact end score H[tlen, qlen] (int32)."""
     n_bands = t_bands.shape[0]
-    n_chunks = q_chunks.shape[0]
+    n_chunks = qs.shape[0]
     TB = S * LANES
     D_pad = n_chunks * TD
+    DEL = jnp.int32(del_)
+    EXT = jnp.int32(ext)
+    C_real = lens[0]
+    R_real = lens[1]
+    dvec = jnp.arange(D_pad, dtype=jnp.int32) + 1  # band step d
+    khat = (dvec - 1) * EXT  # hat offset of stream slot d-1
+    # top-row stream of band 0: the global border row (pre-hatted,
+    # UNcorrected — see the sharded pipeline's fd-stream note)
+    prev0 = jnp.where(
+        dvec == C_real, -(C_real + 1) * DEL, -dvec * DEL
+    ) + khat
 
     def band_body(carry, xs):
-        prev_stream, end_acc = carry
-        t_band, band_idx = xs
-        band_base = band_idx * TB
-        r_local = jnp.int32(R_real) - band_base
-        d_cap = jnp.where(
-            (r_local >= 1) & (r_local <= TB),
-            r_local + jnp.int32(C_real) - 1,
-            jnp.int32(-1),
-        )
-        scal = jnp.stack([
-            band_base, d_cap, jnp.int32(C_real), jnp.int32(R_real)
-        ]).reshape(1, 4)
-        rb, end_b = _run_band_single(
-            t_band, q_chunks, prev_stream.reshape(n_chunks, 1, TD),
+        prev, end = carry
+        t_band, jb = xs
+        y_base = jb * TB
+        # left boundary = the border column H[y, 0] with the far-corner
+        # overwrite (simple/mod.rs:59-70)
+        ys = y_base + jnp.arange(TB + 1, dtype=jnp.int32)
+        lb = jnp.where(ys == R_real, -(R_real + 1) * DEL, -ys * DEL)
+        lbp = jnp.zeros(D_pad, jnp.int32).at[:TB].set(lb[:TB])
+        lbc = jnp.zeros(D_pad, jnp.int32).at[:TB].set(lb[1:])
+        c1 = lbp + (dvec - 2) * EXT
+        c2 = lbc + (dvec - 1) * EXT
+        # cell (1,1) is the only del-penalty cell (simple/mod.rs:72)
+        c2 = c2.at[0].add(jnp.where(jb == 0, -(DEL - EXT), 0))
+        f = prev.at[0].add(jnp.where(jb == 0, -(DEL - EXT), 0))
+        fd = jnp.concatenate([jnp.zeros(1, jnp.int32), prev[:-1]])
+        j_end = R_real - 1 - y_base
+        d_end = C_real + j_end
+        owned = (j_end >= 0) & (j_end < TB)
+        scal = jnp.stack(
+            [j_end, d_end, owned.astype(jnp.int32)]
+        ).reshape(1, 3)
+        rb, _, endv = run_block_band(
+            t_band, qs,
+            f.reshape(n_chunks, 1, TD),
+            c1.reshape(n_chunks, 1, TD),
+            c2.reshape(n_chunks, 1, TD),
+            fd.reshape(n_chunks, 1, TD),
             pmat, scal,
-            S=S, TD=TD, V=V,
-            del_=del_, ext=ext, lut_bits=lut_bits, lut_bias=lut_bias,
-            interpret=interpret,
+            S=S, TD=TD, V=V, Cb=Cb, ext=ext,
+            lut_bits=lut_bits, bias2=bias2, interpret=interpret,
+            with_rc=False,
         )
-        # rb flat slot k holds H[band_end, x = k+1 - (TB-1)]; the next
-        # band consumes H[band_end, x = k'+1] at slot k' — shift TB-1
+        # bottom-row stream → next band's top-row stream: the de-hat,
+        # TB-1 slot shift, and re-hat telescope to one constant offset
         rb_flat = rb.reshape(D_pad)
         nxt = jnp.concatenate(
             [rb_flat[TB - 1:], jnp.zeros(TB - 1, jnp.int32)]
-        )
-        return (nxt, jnp.maximum(end_acc, end_b[0, 0])), None
+        ) - TB * EXT
+        end = jnp.where(owned, endv[0, 0], end)
+        return (nxt, end), None
 
     (_, end), _ = lax.scan(
-        band_body,
-        (brow_stream.reshape(D_pad), jnp.int32(NEG_I32)),
+        band_body, (prev0, jnp.int32(NEG_I32)),
         (t_bands, jnp.arange(n_bands, dtype=jnp.int32)),
     )
     return end
@@ -780,9 +641,10 @@ def end_score_single_global_diag(
     """Exact global end score H[tlen, qlen] of one pair via the
     band-diagonal kernel — scores only (see the section comment above
     for why it cannot produce alignments).  Requires :func:`supported`.
-    ``tb`` is the band height (rows per band, multiple of 128; 16384
-    measured best at 64k x 64k — smaller bands are latency-bound,
-    bigger ones waste lanes on the band ramp, docs/PERF_NOTES.md)."""
+    ``tb`` is the band height (rows per band, multiple of 128): 16384
+    measured best at 64k x 64k across rounds — 124.7 GCUPS with the
+    round-4 unrolled short-chain kernel vs 67.7 for the round-3 kernel
+    this replaced (docs/PERF_NOTES.md)."""
     pp = _prep(q, t, matrix, del_, ext)
     C_real, R_real = pp["C_real"], pp["R_real"]
     if C_real == 0 or R_real == 0:
@@ -792,32 +654,27 @@ def end_score_single_global_diag(
     mi = np.round(np.asarray(matrix)).astype(np.int64)
     if int(mi.max()) - int(mi.min()) <= 15:
         pmat, bias = pack_matrix_nibbles(np.asarray(matrix).T)
-        lut_bits = 4
+        lut_bits, bias2 = 4, bias + 2 * int(ext)
     else:
         pmat = np.asarray(pack_matrix_words(np.asarray(matrix).T))
-        bias, lut_bits = 0, 8
+        lut_bits, bias2 = 8, 2 * int(ext) - 128
     n_bands = _cdiv(R_real, TB)
     tp = np.zeros(n_bands * TB, np.int32)
     tp[:R_real] = pp["t"]
-    D_pad = _cdiv(C_real + TB - 1, td) * td
-    qs = np.zeros(D_pad, np.int32)
+    Cb = pp["C_pad"]
+    D_pad = _cdiv(Cb + TB - 1, td) * td
+    qs = np.full(D_pad, pp["V"], np.int32)
     qs[:C_real] = pp["q"]
-    DEL_i = int(del_)
-    # boundary-row stream of band 0: H[0, x = d] at slot d-1, with the
-    # far-corner overwrite (simple/mod.rs:59-70)
-    xs = np.arange(1, D_pad + 1, dtype=np.int64)
-    brow = np.where(xs == C_real, -(C_real + 1) * DEL_i, -xs * DEL_i)
-    brow[xs > C_real] = 0
     if interpret is None:
         interpret = not on_tpu()
     end = _run_band(
         jnp.asarray(tp.reshape(n_bands, S, LANES)),
         jnp.asarray(qs.reshape(D_pad // td, 1, td)),
-        jnp.asarray(brow.astype(np.int32).reshape(D_pad // td, 1, td)),
         jnp.asarray(pmat),
-        S=S, TD=td, V=pp["V"], C_real=C_real, R_real=R_real,
-        del_=DEL_i, ext=int(ext), lut_bits=lut_bits, lut_bias=bias,
-        interpret=bool(interpret),
+        jnp.asarray([C_real, R_real], jnp.int32),
+        S=S, TD=td, V=pp["V"], Cb=Cb,
+        del_=int(del_), ext=int(ext),
+        lut_bits=lut_bits, bias2=bias2, interpret=bool(interpret),
     )
     return float(np.asarray(end))
 
@@ -1091,6 +948,10 @@ def _kernel_band_cs(
     lut_bits: int,
     bias2: int,  # lut_bias + 2·ext (nibble) / 2·ext - 128 (byte) folded
     with_rc: bool,
+    ud: int,  # step-loop unroll: amortizes per-iteration loop/scalar
+    # overhead and lets Mosaic overlap consecutive steps' 2-deep chains
+    # (the same lever as the row kernel's UNROLL=8 — the band step was
+    # measured floor-bound at ~150 cycles un-unrolled, round 4)
 ):
     from .pallas_dp import _bit_select
 
@@ -1124,6 +985,8 @@ def _kernel_band_cs(
 
     pw = [pw_ref[g] for g in range(n_words)]
 
+    assert TD % ud == 0 and LANES % ud == 0
+
     def step(k, carry):
         a, u2, qrow, eacc, rcs, racc = carry
         d = i * TD + k + 1  # 1-based band step; lane j: (y_base+j+1, d-j)
@@ -1150,15 +1013,23 @@ def _kernel_band_cs(
             rcs = jnp.where(flat == d - Cb, h, rcs)
         tail = pltpu.roll(h[S - 1 : S, :], shift=(k + 1) % LANES, axis=1)
         racc = jnp.where(lane1 == k % LANES, tail, racc)
-
-        @pl.when(k % LANES == LANES - 1)
-        def _store():
-            rb_ref[k // LANES] = racc
-
         return (h, u1, qrow, eacc, rcs, racc)
 
+    def block(kk, carry):
+        for u in range(ud):
+            k = kk * ud + u
+            carry = step(k, carry)
+            if u == ud - 1:
+                racc = carry[-1]
+
+                @pl.when(k % LANES == LANES - 1)
+                def _store():
+                    rb_ref[k // LANES] = racc
+
+        return carry
+
     a, u2, qrow, eacc, rcs, _ = lax.fori_loop(
-        0, TD, step,
+        0, TD // ud, block,
         (a_ref[:], u2_ref[:], qrow_ref[:], eacc_ref[:], rcs_ref[:],
          jnp.zeros((1, LANES), jnp.int32)),
     )
@@ -1185,7 +1056,7 @@ def _kernel_band_cs(
     jax.jit,
     static_argnames=(
         "S", "TD", "V", "Cb", "ext", "lut_bits", "bias2",
-        "interpret", "with_rc",
+        "interpret", "with_rc", "ud",
     ),
 )
 def run_block_band(
@@ -1207,6 +1078,8 @@ def run_block_band(
     bias2: int,
     interpret: bool,
     with_rc: bool = True,
+    ud: int = 32,  # measured optimum at TB=16384 on v5e (124.7 GCUPS
+    # vs 108.6 at ud=8, 58.6 un-unrolled; ud=64 regresses to 122.7)
 ):
     """One band-diagonal column-sharded block fill (TB = S·128 rows ×
     Cb columns).  Returns ``(rb, rc, end)``: the bottom-row stream in
@@ -1220,7 +1093,7 @@ def run_block_band(
     kernel = functools.partial(
         _kernel_band_cs,
         S=S, TD=TD, V=V, Cb=Cb, ext=ext,
-        lut_bits=lut_bits, bias2=bias2, with_rc=with_rc,
+        lut_bits=lut_bits, bias2=bias2, with_rc=with_rc, ud=ud,
     )
     per_word = 8 if lut_bits == 4 else 4
     n_words = _cdiv(V, per_word)

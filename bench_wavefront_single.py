@@ -90,22 +90,21 @@ def bench_diag(q, t, M, K=5, TB=16384, td=512):
     n_bands = (R + TB - 1) // TB
     tp = np.zeros(n_bands * TB, np.int32)
     tp[:R] = pp["t"]
-    D_pad = (C + TB - 1 + td - 1) // td * td
-    qs = np.zeros(D_pad, np.int32)
+    Cb = pp["C_pad"]
+    D_pad = (Cb + TB - 1 + td - 1) // td * td
+    qs = np.full(D_pad, pp["V"], np.int32)
     qs[:C] = pp["q"]
-    xs = np.arange(1, D_pad + 1, dtype=np.int64)
-    brow = np.where(xs == C, -(C + 1) * 11, -xs * 11)
-    brow[xs > C] = 0
     qc = jnp.asarray(qs.reshape(D_pad // td, 1, td))
-    br = jnp.asarray(brow.astype(np.int32).reshape(D_pad // td, 1, td))
     pm = jnp.asarray(pmat)
+    lens = jnp.asarray([C, R], jnp.int32)
     tb_a = jnp.asarray(tp.reshape(n_bands, S, wf.LANES))
 
     def call(tb):
         return wf._run_band(
-            tb, qc, br, pm,
-            S=S, TD=td, V=pp["V"], C_real=C, R_real=R,
-            del_=11, ext=2, lut_bits=4, lut_bias=bias, interpret=False,
+            tb, qc, pm, lens,
+            S=S, TD=td, V=pp["V"], Cb=Cb,
+            del_=11, ext=2, lut_bits=4, bias2=bias + 2 * 2,
+            interpret=False,
         )
 
     g1, gk = _chain(call, 1), _chain(call, K)

@@ -25,7 +25,63 @@ import sys
 import time
 
 
-def run_tpu():
+def _marginal_pipeline(mesh, q, t, M, tr, engine, K=4):
+    """K-loop marginal GCUPS of the jitted shard_map pipeline: chain K
+    data-dependent pipeline calls inside one jit so the per-dispatch
+    tunnel RTT divides out (docs/PERF_NOTES.md methodology)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from aligner_tpu.parallel.wavefront_sp import (
+        _build_pipeline,
+        _prep_sharded,
+    )
+
+    pp = _prep_sharded(mesh, q, t, M, 11.0, 2.0, tr, None, engine, False)
+    run = _build_pipeline(
+        mesh, pp["axis"], pp["n"], pp["engine"], pp["interpret"],
+        pp["V"], pp["Cb"], pp["S_loc"], pp["J"], pp["R_pad"],
+        int(pp["DEL"]), int(pp["EXT"]), pp["stride"], pp["n_ck"],
+        pp["tr"], False, pp["lut_bits"], pp["bias2"],
+    )
+    lens = jnp.asarray([pp["C_real"], pp["R_real"]], jnp.int32)
+    qp = jnp.asarray(pp["qp"])
+    mi = pp["mi"]
+
+    def chain(k):
+        @jax.jit
+        def g(tp):
+            def body(c, _):
+                e = run(qp, c, mi, lens)
+                return c + (e - e).astype(c.dtype), e
+
+            _, es = lax.scan(body, tp, None, length=k)
+            return es
+
+        return g
+
+    g1, gk = chain(1), chain(K)
+    tp = jnp.asarray(pp["tp"])
+    e1 = g1(tp)
+    ek = gk(tp)
+    assert np.asarray(e1)[0] == np.asarray(ek)[-1]
+    end = float(np.asarray(e1)[0])
+    cells = len(q) * len(t)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        g1(tp).block_until_ready()
+        t1 = time.perf_counter()
+        t2 = time.perf_counter()
+        gk(tp).block_until_ready()
+        t3 = time.perf_counter()
+        best = max(best, cells / (((t3 - t2) - (t1 - t0)) / (K - 1)) / 1e9)
+    return best, end, pp["tr"]
+
+
+def run_tpu(band_trs=(2048, 4096, 8192, 16384)):
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -58,6 +114,24 @@ def run_tpu():
         "gcups": round(gcups, 2),
         "note": "exact global end score, jitted shard_map pipeline, tr=128",
     }))
+
+    # K-loop marginals of the per-device block engines (VERDICT r3 #1):
+    # the round-3 row-scan config (tr=128) vs the band-diagonal block
+    # engine across band heights.  End scores cross-checked equal.
+    g, ref_end, _ = _marginal_pipeline(mesh, q, t, M, 128, "pallas")
+    print(json.dumps({
+        "bench": "wavefront_sp_block_engine_marginal", "engine": "pallas",
+        "tr": 128, "pair": f"{L}x{L}",
+        "gcups_marginal": round(g, 1), "end": ref_end,
+    }))
+    for tr_b in band_trs:
+        g, e, tr_eff = _marginal_pipeline(mesh, q, t, M, tr_b, "band")
+        assert e == ref_end, (e, ref_end)
+        print(json.dumps({
+            "bench": "wavefront_sp_block_engine_marginal",
+            "engine": "band", "tr": tr_eff, "pair": f"{L}x{L}",
+            "gcups_marginal": round(g, 1), "end": e,
+        }))
 
 
 def run_cpu_virtual():
