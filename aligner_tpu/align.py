@@ -188,7 +188,7 @@ def _fill_sharded(q, ql, t, tl, matrix, del_, ext, mode, with_planes,
 
 
 def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
-                      ndev, device_dirs=False):
+                      ndev, device_dirs=False, track_argmax=True):
     """Data-sharded PWM fill — the window-scan axis of the repeat search
     (engine/calc.rs:45-75) sharded over the device mesh.
     ``device_dirs`` as in :func:`_fill_sharded`."""
@@ -223,7 +223,8 @@ def _fill_pwm_sharded(q, ql, pwm, del_, ext, with_planes, backend, dtype,
                     qs, qls, mat, del_, ext, dtype=dtype
                 )
             return fill_pwm_scores_traced(
-                qs, qls, mat, del_, ext, dtype=dtype
+                qs, qls, mat, del_, ext, dtype=dtype,
+                track_argmax=track_argmax,
             )
         r = fill_pwm_batch(
             qs, qls, mat, del_, ext, with_planes=with_planes, dtype=dtype
@@ -341,7 +342,7 @@ def _fill(q, ql, t, tl, matrix, del_, ext, mode, with_planes, backend, dtype,
 
 
 def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
-              scores_plane=False, device_dirs=False):
+              scores_plane=False, device_dirs=False, track_argmax=True):
     import jax.numpy as jnp
 
     from .observability import measure
@@ -353,7 +354,7 @@ def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
         with measure(f"{backend}x{ndev}/pwm", cells, len(ql)):
             res = _fill_pwm_sharded(
                 q, ql, pwm, del_, ext, with_planes, backend, dtype, ndev,
-                device_dirs=device_dirs,
+                device_dirs=device_dirs, track_argmax=track_argmax,
             )
             (res[0] if device_dirs and with_planes else res).fmax.block_until_ready()
         return res
@@ -393,7 +394,7 @@ def _fill_pwm(q, ql, pwm, del_, ext, with_planes, backend, dtype,
             # planes never leave the device (mirrors the pair path knob)
             res = fill_pwm_batch_pallas(
                 q, ql, pwm, del_, ext, with_planes=with_planes, dtype=dtype,
-                scores_plane=scores_plane,
+                scores_plane=scores_plane, track_argmax=track_argmax,
             )
         else:
             from .ops.scan_engine import fill_pwm_batch
@@ -1019,11 +1020,16 @@ def batch_align_pwm(
     backend: str | None = None,
     dtype=None,
     with_alignments: bool = False,
+    track_argmax: bool = True,
 ):
     """Batched query-vs-PWM alignment (one PWM shared or (B, 4, W) batched).
 
     This is the window-scan primitive of the latent-repeat search
     (engine/calc.rs:45-75): all windows become one launch.
+    ``track_argmax=False`` (scores-only mode only): skip per-cell argmax
+    bookkeeping when the caller consumes just ``fmax`` — the returned
+    fy/fx/end are then backend-dependent filler (the window-scan
+    z-filter path; +19% measured kernel-side, BENCH_modes pwm rows).
     """
     pwm = np.asarray(pwm)
     if pwm.shape[-2] != 4:
@@ -1039,7 +1045,8 @@ def batch_align_pwm(
         and os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
     )
     filled = _fill_pwm(q, ql, pwm, del_, ext, with_alignments, backend,
-                       dtype, device_dirs=use_dev)
+                       dtype, device_dirs=use_dev,
+                       track_argmax=track_argmax or with_alignments)
     if use_dev:
         res, dirs_dev, fmt = filled
     else:

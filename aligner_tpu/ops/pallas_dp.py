@@ -249,22 +249,53 @@ def _kernel(
     best0 = (fmax_ref[0], fy_ref[0], fx_ref[0])
     end0 = end_ref[0]
 
-    def body(y1, carry):
+    # integral matrix AND integral penalties ⇒ every DP value is an
+    # exact small integer in f32, so the ε tie tests collapse to plain
+    # <= compares and max/sub reassociation is exact — the optimized
+    # direction chain below relies on both (round-4 ablation)
+    exact_ties = packed_lut and del_ == int(del_) and ext == int(ext)
+
+    def body(y1, carry, sh=0):
         a_up, pen, diag_prev, bv, by, bx, ev = carry
         left_v = colbuf_ref[y1]
         s = score_at(y1 - 1)
         diag = diag_prev + s
-        if with_planes:
+        if with_planes and exact_ties:
+            # shared-subtract max (exact for integers) + ONE m+pen add
+            # replaces two top/left subtractions, and the ε tests
+            # become raw-neighbor compares: m <= top ⟺ m+pen <= a_up.
+            # Codes come pre-shifted to this cell's 2-bit slot (``sh``,
+            # static per unroll position) so the word pack below needs
+            # no per-cell shift.  Saves 3 vector ops/cell vs the
+            # general chain (116 → measured round 4, BENCH_modes).
+            m = jnp.maximum(jnp.maximum(a_up, left_v) - pen, diag)
+            mp = m + pen
+            d = jnp.where(
+                mp <= a_up,
+                jnp.int32(TOP << sh),
+                jnp.where(
+                    mp <= left_v,
+                    jnp.int32(LEFT << sh),
+                    jnp.int32(DIAG << sh),
+                ),
+            )
+            if not is_global:
+                d = jnp.where(m == 0, jnp.int32(BEG << sh), d)
+        elif with_planes:
             top = a_up - pen
             left = left_v - pen
             m = jnp.maximum(jnp.maximum(top, left), diag)
             d = jnp.where(
                 m - top < eps,
-                jnp.int32(TOP),
-                jnp.where(m - left < eps, jnp.int32(LEFT), jnp.int32(DIAG)),
+                jnp.int32(TOP << sh),
+                jnp.where(
+                    m - left < eps,
+                    jnp.int32(LEFT << sh),
+                    jnp.int32(DIAG << sh),
+                ),
             )
             if not is_global:
-                d = jnp.where(m == 0, jnp.int32(BEG), d)
+                d = jnp.where(m == 0, jnp.int32(BEG << sh), d)
         else:
             # max(a-p, b-p) == max(a,b)-p exactly (float sub is monotone
             # and ties give the same value) — one sub saved per cell
@@ -274,7 +305,7 @@ def _kernel(
             # / never (global) — enums.rs:30-46
         def next_pen():
             if d is not None:
-                return jnp.where(d == BEG, DEL, EXT)
+                return jnp.where(d == (BEG << sh), DEL, EXT)
             if is_global:
                 return jnp.broadcast_to(EXT, (BS, LANES))
             return jnp.where(m == 0, DEL, EXT)
@@ -286,13 +317,24 @@ def _kernel(
             active = active_x & (y1 <= tlen)
             pen = jnp.where(active, next_pen(), pen)
             val = jnp.where(active, m, zero)
-            dc = jnp.where(active, d, jnp.int32(BEG)) if d is not None else None
+            dc = (
+                jnp.where(active, d, jnp.int32(BEG << sh))
+                if d is not None
+                else None
+            )
         colbuf_ref[y1] = val
         if with_scores_plane:
             plane_ref[0, y1 - 1] = val
         if track_argmax:
             act = True if dense else active
-            better = (m > bv) | ((m == bv) & ((y1 < by) | ((y1 == by) & (x1 < bx))))
+            # first-max in row-major order (value desc, y asc, x asc;
+            # simple/mod.rs:212).  The full lexicographic tie clause
+            # collapses: candidates arrive in (x asc, y asc) VISIT
+            # order, so a tied stored best always has bx <= x1, and
+            # bx == x1 implies by < y1 — the (y1 == by) & (x1 < bx)
+            # disjunct can never fire.  Equivalent with 3 fewer vector
+            # ops per cell (round 4; pinned by the oracle fuzz suites).
+            better = (m > bv) | ((m == bv) & (y1 < by))
             if not dense:
                 better = act & better
             bv = jnp.where(better, m, bv)
@@ -319,9 +361,11 @@ def _kernel(
         # int32 word — 1/8 the full-mode HBM write traffic
         word = jnp.zeros((BS, LANES), jnp.int32)
         for j in range(UNROLL):
-            carry, dc = body(base * UNROLL + 1 + j, carry)
+            # sh = this cell's 2-bit slot, static per unroll position:
+            # body emits pre-shifted codes so the pack is a plain OR
+            carry, dc = body(base * UNROLL + 1 + j, carry, sh=2 * j)
             if with_planes:
-                word = word | (dc << (2 * j))
+                word = word | dc
         if with_planes:
             dirs_ref[0, base] = word
         return carry
@@ -747,10 +791,14 @@ def fill_pwm_batch_pallas(
     with_planes: bool = True,
     dtype=jnp.float32,
     scores_plane: bool = True,
+    track_argmax: bool = True,
 ) -> FillResult:
     """Drop-in Pallas counterpart of scan_engine.fill_pwm_batch.
 
     Plane dims (qlen+1, W+1): rows are query positions (pwm/mod.rs:44-74).
+    ``track_argmax=False`` (scores-only consumers like the window-scan
+    z-filter) skips the per-cell argmax/end bookkeeping — fy/fx/end
+    come back zero, fmax stays exact.
     """
     q = np.asarray(q, np.int32)
     qlen = np.asarray(qlen, np.int32)
@@ -782,6 +830,7 @@ def fill_pwm_batch_pallas(
         None, t4, None, tlen4, m4, float(del_), float(ext),
         mode="pwm", with_planes=with_planes, dtype=dtype, interpret=interpret,
         with_scores_plane=scores_plane and with_planes,
+        track_argmax=track_argmax or with_planes,
     )
     fmax, fy, fx, end = [o.reshape(NB * BS * LANES)[:B] for o in outs[:4]]
     plane = dirs = None
@@ -983,11 +1032,12 @@ def fill_pwm_scores_traced(
     dtype=jnp.float32,
     bs: int | None = None,
     interpret: bool | None = None,
+    track_argmax: bool = True,
 ):
     """Traceable scores-only PWM fill (shared or (B, 4, W) batched PWM)
     for jit/shard_map.  (No ``packed_lut`` option: the kernel's packed
     path reads the pair-mode query codes, which PWM mode does not
-    have.)"""
+    have.)  ``track_argmax=False``: fy/fx/end come back zero."""
     q = jnp.asarray(q, jnp.int32)
     B, R = q.shape
     if R % 8:
@@ -1009,6 +1059,6 @@ def fill_pwm_scores_traced(
     outs = _run(
         None, t4, None, tl4, pwm, float(del_), float(ext),
         mode="pwm", with_planes=False, dtype=dtype, interpret=interpret,
-        packed_lut=False,
+        packed_lut=False, track_argmax=track_argmax,
     )
     return tuple(o.reshape(NB * BS * LANES)[:B] for o in outs[:4])

@@ -66,6 +66,66 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+# Measured per-device block-engine throughput model (one v5e, round 4 —
+# the six calibration points and methodology are in docs/PERF_NOTES.md
+# "Round 4" and BENCH_modes.json::wavefront_sp):
+#
+#   band:     r∞(tr) = 0.94·tr / (68 + 0.24·tr/128) GCUPS  (per-step
+#             floor 68 cycles + 0.24 cycles/sublane at ud=32), times
+#             the band ramp Cb/(Cb+tr−1);
+#   row-scan: ≈ min(48, 0.0012·Cb) GCUPS at tr=128 (per-row floor makes
+#             narrow column blocks latency-bound).
+#
+# Validated within ~8% against measurements at Cb ∈ {2048, 8192, 65536}.
+_BAND_FLOOR_CYCLES = 68.0
+_BAND_SLOPE_CYCLES_PER_SUBLANE = 0.24
+_ROWSCAN_SAT_GCUPS = 48.0
+_ROWSCAN_PER_COL_GCUPS = 0.0012
+
+
+def band_rate_model(tr: int, cb: int) -> float:
+    """Modeled band block-engine GCUPS at band height ``tr`` and
+    per-device column-block width ``cb`` (ramp included)."""
+    r_inf = 0.94 * tr / (
+        _BAND_FLOOR_CYCLES + _BAND_SLOPE_CYCLES_PER_SUBLANE * tr / 128.0
+    )
+    return r_inf * cb / (cb + tr - 1)
+
+
+def rowscan_rate_model(cb: int) -> float:
+    """Modeled row-scan block-engine GCUPS at column width ``cb``."""
+    return min(_ROWSCAN_SAT_GCUPS, _ROWSCAN_PER_COL_GCUPS * cb)
+
+
+def auto_shard_config(
+    qlen: int, tlen: int, n: int, *, max_band_tr: int = 16384
+) -> tuple[str, int, float]:
+    """Pick ``(engine, tr, modeled_gcups_per_chip)`` for the sharded
+    pipeline: maximize per-device block rate × the pipeline fill factor
+    J/(J+n−1), J = ceil(R/tr).  The (tr, J, n) tension this resolves:
+    the band engine wants tall bands (per-step floor amortization) but
+    tall bands cut the pipeline step count J and widen the band ramp;
+    the row-scan engine runs any tr but collapses on narrow column
+    blocks.  ``max_band_tr`` caps the band height (the traceback path
+    passes a smaller cap so the direction-replay tile stays within its
+    VMEM/HBM budget)."""
+    cb = max(_cdiv(_cdiv(qlen, n), 128) * 128, 128)
+    r128 = max(_cdiv(tlen, 128) * 128, 128)
+
+    def fill(tr):
+        j = _cdiv(tlen, tr)
+        return j / (j + n - 1)
+
+    best = ("pallas", 128, rowscan_rate_model(cb) * fill(128))
+    tr = 512
+    while tr <= min(max_band_tr, r128):
+        e = band_rate_model(tr, cb) * fill(tr)
+        if e > best[2]:
+            best = ("band", tr, e)
+        tr *= 2
+    return best
+
+
 def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
                   tb_rows=None):
     """Shared operand prep + validation for the sharded entry points.
@@ -93,8 +153,19 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
             "sharded wavefront: scores would exceed the int32-exact range "
             "(see ops.wavefront.range_ok)"
         )
+    auto_pick = engine is None and tr is None
+    if tr is None:
+        tr = 128
     if engine is None:
         engine = "pallas" if _on_tpu() else "lax"
+        if auto_pick and _on_tpu():
+            # pick (engine, tr) from the measured throughput model; the
+            # traceback path caps the band height so the direction-
+            # replay tile stays within its VMEM/HBM budget
+            engine, tr, _ = auto_shard_config(
+                len(q), len(t), n,
+                max_band_tr=2048 if tb_rows is not None else 16384,
+            )
     if engine in ("pallas", "band") and (
         np.abs(np.round(matrix)).max(initial=0) > 127
     ):
@@ -487,7 +558,7 @@ def sharded_global_end_score(
     del_: float,
     ext: float,
     *,
-    tr: int = 128,
+    tr: int | None = None,
     axis: str | None = None,
     engine: str | None = None,
     interpret: bool | None = None,
@@ -690,7 +761,7 @@ def sharded_global_align(
     del_: float,
     ext: float,
     *,
-    tr: int = 128,
+    tr: int | None = None,
     tb_rows: int = 512,
     axis: str | None = None,
     engine: str | None = None,

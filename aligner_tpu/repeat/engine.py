@@ -122,7 +122,11 @@ def _scan_scores(
         if pad:
             qs = qs + [seq[:0]] * pad
         res = batch_align_pwm(
-            qs, matrix, opts.deletions, opts.extension, backend=opts.backend
+            qs, matrix, opts.deletions, opts.extension,
+            backend=opts.backend,
+            # only f feeds the mean/std and z-filter (calc.rs:72-86,
+            # 139-144) — skip the per-cell argmax bookkeeping
+            track_argmax=False,
         )
         fs[lo : lo + len(chunk)] = np.asarray(res.fmax, np.float64)[: len(chunk)]
     return fs

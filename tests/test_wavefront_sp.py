@@ -306,6 +306,26 @@ def test_compile_bucket_reuse_sharded(mesh, rng, engine):
     assert size == size0  # the second pair added no pipeline build
 
 
+def test_auto_shard_config_choices():
+    """The measured-model auto-config (VERDICT r3 #5): tall bands for
+    wide blocks, shorter bands as the per-device width shrinks, the
+    traceback cap honored, and the weak-scaling north star (>=0.85 at
+    n in {8,16,32}) met at constant per-device load for chromosome-
+    scale targets (docs/PERF_NOTES.md '(tr, J, n)' section)."""
+    from aligner_tpu.parallel.wavefront_sp import auto_shard_config
+
+    e, tr, _ = auto_shard_config(65536, 65536, 1)
+    assert (e, tr) == ("band", 16384)
+    e, tr, _ = auto_shard_config(65536, 65536, 32)
+    assert e == "band" and tr <= 4096
+    _, tr, _ = auto_shard_config(65536, 1 << 20, 1, max_band_tr=2048)
+    assert tr <= 2048
+    base = auto_shard_config(65536, 4 << 20, 1)[2]
+    for n in (8, 16, 32):
+        g = auto_shard_config(65536 * n, 4 << 20, n)[2]
+        assert g / base >= 0.85, (n, g / base)
+
+
 def test_band_engine_tr_rounding_and_clamp(mesh, rng):
     """The band block engine rounds tr to a 128 multiple (lanes = rows)
     and clamps it to the padded target length; results stay exact."""
