@@ -795,8 +795,15 @@ def sharded_global_align(
 
     end_dev, lb_hist_dev, ckpts_dev = _pipeline(mesh, pp, with_trace=True)
     end = float(np.asarray(end_dev))
-    lb_hist = np.asarray(lb_hist_dev)  # (n, R_pad): H[y, x0_d], y = 1..R_pad
-    ckpts = np.asarray(ckpts_dev)  # (n_ck, C_pad): H[(k+1)*TB, 1..C_pad]
+    # the trace records stay ON DEVICE for the default fused walk —
+    # pulling them to host (and re-uploading) cost ~6 s of tunnel
+    # transfer at 64k x 64k (33 MB of checkpoints both ways, round-4
+    # fix); only the host-walk fallback materializes numpy copies
+    use_device_walk = os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
+    lb_hist = ckpts = None
+    if not use_device_walk:
+        lb_hist = np.asarray(lb_hist_dev)  # (n, R_pad): H[y, x0_d]
+        ckpts = np.asarray(ckpts_dev)  # (n_ck, C_pad): H[(k+1)*TB, ...]
 
     DEL_i, EXT_i = int(pp["DEL"]), int(pp["EXT"])
     V = pp["V"]
@@ -876,7 +883,6 @@ def sharded_global_align(
     # default: the WHOLE traceback (every crossed tile's replay + walk)
     # runs in one device dispatch; only the 2-bit step stream returns.
     # ALIGNER_DEVICE_WALK=0 restores the host per-cell walk
-    use_device_walk = os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
     qa_chunks = [np.array([q_np[-1]], np.int16)]
     ta_chunks = [np.array([t_np[-1]], np.int16)]
     cy, cx = R_real, C_real
@@ -904,10 +910,10 @@ def sharded_global_align(
             mat_arg = pp["mat_i32"]
         packed, nn, cy_f, cx_f = _replay_walk_all_sharded(
             qp_dev, pw_all, mat_arg, pm,
-            jnp.asarray(tp), jnp.asarray(ckpts), jnp.asarray(lb_hist),
+            jnp.asarray(tp), ckpts_dev, lb_hist_dev,
             engine=replay_engine, S_loc=pp["S_loc"], TB=TB, V=V,
             C_real=C_real, R_real=R_real, del_=DEL_i, ext=EXT_i,
-            interpret=pp["interpret"], NCK=ckpts.shape[0], n=n, Cb=Cb,
+            interpret=pp["interpret"], NCK=ckpts_dev.shape[0], n=n, Cb=Cb,
         )
         qa_c, ta_c = steps_to_chunks(packed, int(nn), cy, cx, q_np, t_np)
         qa_chunks.append(qa_c)

@@ -219,8 +219,13 @@ def main():
     print(
         json.dumps(
             {
+                # label honesty (VERDICT r3 #6): this measures the DENSE
+                # uniform-length scores-only config; the real p-value
+                # workload runs the masked path (shuffles drop 0-6 tail
+                # chars), measured separately in BENCH_modes.json as
+                # pair_scores_only_masked_pvalue_mix (~12% below dense)
                 "metric": f"SW DP-fill throughput ({path}, protein 400x400, "
-                          "exact semantics, p-value workload config)",
+                          "exact semantics, dense scores-only config)",
                 "value": round(value, 2),
                 "unit": "GCUPS",
                 "vs_baseline": round(value / base, 1),

@@ -105,6 +105,39 @@ def bench_pair(B, K):
     cfg("argmax_on", False, True, True)
     cfg("full_mode_packed_dirs", True, True, True)
 
+    # the REAL p-value shape mix (VERDICT r3 #6b): calculate_p_value's
+    # shuffles drop a random 0..6-char tail (statistics/mod.rs:309-320;
+    # statistics.py:193-199), so the production path runs the masked
+    # (non-dense) kernel with tlen in [L-6, L]
+    tl_mix = rng.integers(L - 6, L + 1, B).astype(np.int32)
+    BSm = min(
+        P._pick_bs(L, L, 24, False, False, scores_plane=False),
+        max(1, P._cdiv(B, P.LANES)),
+    )
+    NBm = P._cdiv(B, BSm * P.LANES)
+    q4m = jnp.asarray(P._seq_operand(P._to_tiles(q, NBm, BSm, (L,))))
+    t4m = jnp.asarray(P._seq_operand(P._to_tiles(t, NBm, BSm, (L,))))
+    ql4m = jnp.asarray(P._to_tiles(ql, NBm, BSm, ()))
+    tl4m = jnp.asarray(P._to_tiles(tl_mix, NBm, BSm, ()))
+
+    def call_masked(t4c):
+        out = P._run(
+            q4m, t4c, ql4m, tl4m, m4, 11.0, 2.0,
+            mode="local", with_planes=False, dtype=jnp.float32,
+            interpret=False, packed_lut=True, lut_bits=lut_bits,
+            lut_bias=lut_bias, dense=False,
+            track_argmax=False, with_scores_plane=False,
+        )
+        return out[0]
+
+    cells_m = int(tl_mix.astype(np.int64).sum()) * L
+    g = _marginal(call_masked, t4m, K, cells_m)
+    print(json.dumps({
+        "bench": "pair_scores_only_masked_pvalue_mix", "B": B, "L": L,
+        "BS": BSm, "tlen": "L-6..L",
+        "gcups_marginal": round(g, 1),
+    }))
+
 
 def bench_pwm(B, K, W=300, R=330):
     import jax.numpy as jnp
