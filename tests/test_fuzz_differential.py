@@ -121,3 +121,33 @@ def test_differential_chunked_device_walk(rng):
         np.testing.assert_array_equal(qa, ref.query_aligned)
         np.testing.assert_array_equal(ta, ref.target_aligned)
         assert coords == ((1, C), (1, R))
+
+
+def test_differential_band_engine(rng):
+    """The band-diagonal block engine against the reference fill over
+    randomized shapes, penalties, alphabets, and LUT widths (nibble +
+    byte ranges) — the lane-0 diag regression showed exactly this class
+    of fuzz catches stream-contract bugs the BLOSUM tests cannot."""
+    import jax
+    from jax.sharding import Mesh
+
+    from aligner_tpu.parallel.wavefront_sp import sharded_global_end_score
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    M24 = np.asarray(blosum62())
+    for trial in range(10):
+        vol = 24 if trial % 2 == 0 else 4
+        if trial % 3 == 0:
+            mat = M24 if vol == 24 else rng.integers(-4, 9, (4, 4)).astype(np.float64)
+        else:  # byte-LUT range (past the 16-value nibble window)
+            mat = rng.integers(-90, 90, (vol, vol)).astype(np.float64)
+        d = float(rng.integers(1, 25))
+        e = float(rng.integers(1, max(int(d), 2)))
+        C = int(rng.integers(1, 200))
+        R = int(rng.integers(1, 200))
+        q = rng.integers(0, vol, C).astype(np.int8)
+        t = rng.integers(0, vol, R).astype(np.int8)
+        plane, _ = _ref_fill(q, t, mat, d, e, "global")
+        got = sharded_global_end_score(mesh, q, t, mat, d, e, tr=128,
+                                       engine="band")
+        assert got == plane[R, C], (trial, C, R, d, e)

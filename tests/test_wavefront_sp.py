@@ -389,6 +389,20 @@ def test_band_engine_lane0_diag_regression(mesh, rng):
 
 
 @pytest.mark.tpu
+def test_auto_config_default_hardware(rng):
+    """The no-args default on TPU goes through auto_shard_config (the
+    measured-model pick) and still produces the exact end score."""
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    M = np.asarray(at.blosum62())
+    q = rng.integers(0, 24, 900).astype(np.int8)
+    t = rng.integers(0, 24, 700).astype(np.int8)
+    ref = host.align_global(q, t, M, 11.0, 2.0)
+    end = sharded_global_end_score(mesh1, q, t, M, 11.0, 2.0,
+                                   interpret=False)
+    assert end == ref.score[700, 900]
+
+
+@pytest.mark.tpu
 def test_band_engine_hardware_spot(rng):
     """Mosaic lowering of the band-diagonal block kernel on real
     hardware (1-device mesh — kernel identical to the n-device case)."""
