@@ -115,6 +115,21 @@ def run_tpu(band_trs=(2048, 4096, 8192, 16384)):
         "note": "exact global end score, jitted shard_map pipeline, tr=128",
     }))
 
+    # the no-args default (auto_shard_config → band at the modeled tr)
+    end_a = sharded_global_end_score(mesh, q, t, M, 11.0, 2.0)
+    assert end_a == end
+    t0 = time.time()
+    for _ in range(reps):
+        sharded_global_end_score(mesh, q, t, M, 11.0, 2.0)
+    dt = (time.time() - t0) / reps
+    print(json.dumps({
+        "bench": "wavefront_sp_auto_config_1chip",
+        "pair": f"{L}x{L}", "end": end_a,
+        "gcups": round(L * L / dt / 1e9, 2),
+        "note": "same pipeline through the auto-config default "
+                "(engine/tr from the measured model), incl. RTT",
+    }))
+
     # K-loop marginals of the per-device block engines (VERDICT r3 #1):
     # the round-3 row-scan config (tr=128) vs the band-diagonal block
     # engine across band heights.  End scores cross-checked equal.
