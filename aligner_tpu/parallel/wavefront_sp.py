@@ -779,7 +779,7 @@ def sharded_global_align(
     cost total, same as the single-chip chunked path).
     """
     from ..alphabet import BLANK
-    from ..ops.scan_engine import DIAG, LEFT, TOP
+    from ..ops.scan_engine import LEFT, TOP
 
     pp = _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine,
                        interpret, tb_rows=tb_rows)

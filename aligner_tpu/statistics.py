@@ -105,14 +105,24 @@ def _estimate_k_and_lambda(qlen, tl, scores, old_k, old_lambda, h):
 
 
 def _estimate_h(qlen, tl, scores, k, lam, old_h):
-    """Step-halving/doubling search on h (statistics/mod.rs:191-238)."""
+    """Step-halving/doubling search on h (statistics/mod.rs:191-238).
+
+    Only ``h`` changes across iterations, so the two transcendental
+    arrays — ``log(k·qlen·tl)`` and ``k·exp(-lam·scores)`` — are hoisted
+    out of the loop verbatim (same expressions, same association:
+    bit-identical results, pinned by test_statistics_pinned).  A
+    non-converging search burns the reference's full MAXITER=10000
+    iterations; the hoist roughly halves that worst case's wall time."""
     h = old_h
+    with np.errstate(all="ignore"):
+        log_kqt = np.log(k * qlen * tl)
+        kexp = k * np.exp(-lam * scores)
     for _ in range(MAXITER + 1):
         with np.errstate(all="ignore"):
-            l = np.log(k * qlen * tl) / h
+            l = log_kqt / h
             nn = (qlen - l) * (tl - l)
             a = 2.0 * l - qlen - tl
-            b = 1.0 / nn - k * np.exp(-lam * scores)
+            b = 1.0 / nn - kexp
             c = -l / h
             h_g = (a * b * c).sum()
             # association follows mod.rs:213-216 exactly: (2·b)·(c²),
