@@ -273,8 +273,33 @@ def _pipeline(mesh, pp, with_trace: bool):
         pp["lut_bits"], pp["bias2"],
     )
     lens = jnp.asarray([pp["C_real"], pp["R_real"]], jnp.int32)
-    return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"],
-               lens)
+    multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
+    if not multiproc:
+        return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"],
+                   lens)
+    # multi-controller mesh (the halo ppermute hops cross process
+    # boundaries over DCN): every process holds the same full host
+    # operands, so each just materializes its own addressable shards
+    if with_trace:
+        raise NotImplementedError(
+            "sharded_global_align over a multi-process mesh is not "
+            "supported (the trace records are mesh-sharded; gather the "
+            "end score with sharded_global_end_score instead)"
+        )
+    from jax.sharding import NamedSharding
+
+    def place(a, spec):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, NamedSharding(mesh, spec), lambda idx: a[idx]
+        )
+
+    return run(
+        place(pp["qp"], P(pp["axis"])),
+        place(pp["tp"], P()),
+        place(pp["mi"], P()),
+        place(lens, P()),
+    )
 
 
 @functools.lru_cache(maxsize=64)

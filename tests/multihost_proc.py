@@ -60,9 +60,29 @@ def main() -> int:
     gathered = np.asarray(
         multihost_utils.process_allgather(fmax, tiled=True)
     )
+
+    # cross-PROCESS wavefront: one global pair, columns sharded over the
+    # 4 global devices (2 per process) — the boundary-halo ppermute hops
+    # across the process boundary over the distributed runtime
+    from jax.sharding import Mesh
+
+    from aligner_tpu.parallel.wavefront_sp import sharded_global_end_score
+
+    mesh1d = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    wq = rng.integers(0, 24, 96).astype(np.int8)
+    wt = rng.integers(0, 24, 70).astype(np.int8)
+    wf_end = float(sharded_global_end_score(
+        mesh1d, wq, wt, np.asarray(blosum62()), 11.0, 2.0, tr=16,
+        engine="lax",
+    ))
+
     if jax.process_index() == 0:
         with open(outfile, "w") as fh:
-            json.dump({"fmax": gathered.tolist(), "span": [lo, hi]}, fh)
+            json.dump({
+                "fmax": gathered.tolist(), "span": [lo, hi],
+                "wf_end": wf_end,
+                "wf_seqs": [wq.tolist(), wt.tolist()],
+            }, fh)
     multihost_utils.sync_global_devices("done")
     return 0
 

@@ -151,3 +151,25 @@ def test_differential_band_engine(rng):
         got = sharded_global_end_score(mesh, q, t, mat, d, e, tr=128,
                                        engine="band")
         assert got == plane[R, C], (trial, C, R, d, e)
+
+
+def test_differential_full_mode_nonintegral_penalties(rng):
+    """Full-mode (direction-plane) parity with NON-integral penalties:
+    the round-4 integral-exact direction chain must gate itself off
+    (exact_ties=False keeps the eps chain) and stay bit-identical to
+    the reference fill."""
+    M = np.asarray(blosum62())
+    for trial in range(4):
+        d = float(rng.integers(1, 20)) + 0.5
+        e = float(rng.integers(1, 8)) + 0.25
+        C = int(rng.integers(2, 40))
+        R = int(rng.integers(2, 40))
+        q = rng.integers(0, 24, (1, C)).astype(np.int32)
+        t = rng.integers(0, 24, (1, R)).astype(np.int32)
+        ql = np.array([C], np.int32)
+        tl = np.array([R], np.int32)
+        plane, dirs = _ref_fill(q[0], t[0], M, d, e, "local")
+        res = fill_batch_pallas(q, ql, t, tl, M, d, e, mode="local",
+                                with_planes=True, dtype=jnp.float64)
+        np.testing.assert_array_equal(res.dirs[0], dirs)
+        np.testing.assert_allclose(res.plane[0], plane)

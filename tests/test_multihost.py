@@ -99,6 +99,15 @@ def test_two_process_jax_distributed(tmp_path):
         np.asarray(data["fmax"], np.float32), np.asarray(ref.fmax)
     )
 
+    # the cross-process wavefront end score (ppermute halos over the
+    # process boundary) must equal the single-process oracle
+    from aligner_tpu import host
+
+    wq = np.asarray(data["wf_seqs"][0], np.int8)
+    wt = np.asarray(data["wf_seqs"][1], np.int8)
+    ref_wf = host.align_global(wq, wt, np.asarray(blosum62()), 11.0, 2.0)
+    assert data["wf_end"] == ref_wf.score[len(wt), len(wq)]
+
 
 REQ = {
     "sequences": ">q\nHEAGAWGHEEHEAGAWGHEE\n>t\nPAWHEAEPAWHEAEHEAGAW\n",
