@@ -74,7 +74,8 @@ def bench_queue(n_threads=4, n_jobs=2000, batch=64):
         }))
 
 
-def bench_e2e(n_workers=2, volume=64, port=3035):
+def bench_e2e(n_workers=2, volume=64, port=3035, backend="xla",
+              warm_rounds=1):
     import numpy as np
 
     from aligner_tpu.io import read_fasta_file
@@ -83,7 +84,13 @@ def bench_e2e(n_workers=2, volume=64, port=3035):
     from aligner_tpu.service.store import Store
 
     recs = read_fasta_file("examples/protein.fasta")
-    fasta = f">a\n{recs[0].seq}\n>b\n{recs[1].seq}\n"
+
+    def _s(rec):
+        s = rec.seq
+        return s.decode() if isinstance(s, (bytes, bytearray)) else str(s)
+
+    s0, s1 = _s(recs[0]), _s(recs[1])
+    fasta = f">a\n{s0}\n>b\n{s1}\n"
     td = tempfile.mkdtemp(prefix="aligner_bench_svc_")
     db = os.path.join(td, "svc.db")
     store, queue = Store(db), JobQueue(db)
@@ -91,22 +98,21 @@ def bench_e2e(n_workers=2, volume=64, port=3035):
     server = serve("127.0.0.1", port, dispatcher=disp)
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
-    env = dict(
-        os.environ, ALIGNER_DB=db, ALIGNER_PLATFORM="cpu",
-        JAX_PLATFORMS="cpu",
-    )
+    env = dict(os.environ, ALIGNER_DB=db)
+    if backend != "pallas":
+        env.update(ALIGNER_PLATFORM="cpu", JAX_PLATFORMS="cpu")
     workers = [
         subprocess.Popen(
             [sys.executable, "-m", "aligner_tpu.service.worker",
              "--name", f"bench-w{i}", "--batch", "16",
-             "--backend", "xla", "--poll-interval", "0.1"],
+             "--backend", backend, "--poll-interval", "0.1"],
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         for i in range(n_workers)
     ]
-    try:
+    def run_round(seqs, label):
         req = json.dumps({
-            "sequences": fasta, "kdValue": 0.0, "rSquaredValue": 1e5,
+            "sequences": seqs, "kdValue": 0.0, "rSquaredValue": 1e5,
             "delValue": 11.0, "dimValue": 24,
             "matricesVolumeValue": volume,
         }).encode()
@@ -123,6 +129,7 @@ def bench_e2e(n_workers=2, volume=64, port=3035):
         # result row exists — the updater semantics)
         deadline = time.time() + 1800
         t_done = {}
+        snap = None
         while time.time() < deadline and len(t_done) < len(hashes):
             snap = disp.progress_snapshot(hashes)
             for h, pct in snap["progress"].items():
@@ -132,16 +139,25 @@ def bench_e2e(n_workers=2, volume=64, port=3035):
         assert len(t_done) == len(hashes), (t_done, snap)
         total = max(t_done.values())
         print(json.dumps({
-            "bench": "service_e2e_throughput",
-            "workers_processes": n_workers, "matrices_volume": volume,
+            "bench": f"service_e2e_throughput_{label}",
+            "workers_processes": n_workers, "backend": backend,
+            "matrices_volume": volume,
             "pairs": len(hashes), "jobs": n_jobs,
             "submit_s": round(t_submit, 3),
             "time_to_promotion_s": round(total, 2),
             "jobs_per_s_claimed_to_committed": round(n_jobs / total, 2),
-            "note": "protein.fasta pair (~400aa), heuristic workers on "
-                    "the CPU xla backend (compute-bound by design; the "
-                    "queue row above isolates orchestration capacity)",
+            "note": "protein.fasta pair (~400aa) heuristic workers "
+                    "(compute-bound by design; the queue row above "
+                    "isolates orchestration capacity)",
         }))
+
+    try:
+        run_round(fasta, "cold")
+        for r in range(warm_rounds):
+            # perturb one residue: new task hashes, same compiled shapes
+            seq = list(s1)
+            seq[r % len(seq)] = "A" if seq[r % len(seq)] != "A" else "G"
+            run_round(f">a\n{s0}\n>b\n{''.join(seq)}\n", "warm")
     finally:
         for w in workers:
             w.terminate()
@@ -159,9 +175,16 @@ def main():
     ap.add_argument("--volume", type=int, default=64)
     ap.add_argument("--port", type=int, default=3035)
     ap.add_argument("--queue-jobs", type=int, default=2000)
+    ap.add_argument("--backend", default="xla",
+                    help="worker backend; 'pallas' runs workers on the "
+                         "real device (use --workers 1 on the single "
+                         "tunneled chip)")
+    ap.add_argument("--skip-queue", action="store_true")
     args = ap.parse_args()
-    bench_queue(n_jobs=args.queue_jobs)
-    bench_e2e(n_workers=args.workers, volume=args.volume, port=args.port)
+    if not args.skip_queue:
+        bench_queue(n_jobs=args.queue_jobs)
+    bench_e2e(n_workers=args.workers, volume=args.volume, port=args.port,
+              backend=args.backend)
 
 
 if __name__ == "__main__":
