@@ -61,6 +61,9 @@ run bench_alignments 2400 python bench_alignments.py --huge 16384 32768
 # 4. single-pair wavefront marginals (row-scan + band-diagonal)
 run bench_wavefront_single 2400 python bench_wavefront_single.py
 
+# 4b. the kernel mode matrix (scores/argmax/full/masked + PWM rows)
+run bench_kernel_modes 2400 python bench_kernel_modes.py
+
 # 5. sharded pipeline
 run bench_wavefront_sp 2400 python bench_wavefront_sp.py
 
