@@ -44,16 +44,20 @@ def _marginal(call, x, K, cells, trials=3):
     g1, gk = chain(1), chain(K)
     g1(x).block_until_ready()
     gk(x).block_until_ready()
-    best = 0.0
-    for _ in range(trials):
+    # median of per-trial rates, not best-of: best-of amplifies jitter
+    # on short runs (a slow t(K=1) sample shrinks the delta and inflates
+    # the rate — observed as a 27% outlier on the fastest config)
+    rates = []
+    for _ in range(max(trials, 3)):
         t0 = time.perf_counter()
         g1(x).block_until_ready()
         t1 = time.perf_counter()
         t2 = time.perf_counter()
         gk(x).block_until_ready()
         t3 = time.perf_counter()
-        best = max(best, cells / (((t3 - t2) - (t1 - t0)) / (K - 1)) / 1e9)
-    return best
+        rates.append(cells / (((t3 - t2) - (t1 - t0)) / (K - 1)) / 1e9)
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def bench_pair(B, K):
