@@ -1029,7 +1029,7 @@ def batch_align_pwm(
     ``track_argmax=False`` (scores-only mode only): skip per-cell argmax
     bookkeeping when the caller consumes just ``fmax`` — the returned
     fy/fx/end are then backend-dependent filler (the window-scan
-    z-filter path; +19% measured kernel-side, BENCH_modes pwm rows).
+    z-filter path; +21% measured kernel-side, BENCH_modes pwm rows).
     """
     pwm = np.asarray(pwm)
     if pwm.shape[-2] != 4:
