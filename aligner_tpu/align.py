@@ -941,7 +941,7 @@ def batch_align(
             ((fy_np[:n_real] == 0) | (fx_np[:n_real] == 0)) & ~skip_mask
         )
     if use_dev:
-        from .ops.device_walk import decode_pair, walk_batch
+        from .ops.device_walk import decode_pair_batch, walk_batch
 
         if mode == "global":
             sy_full = tl.astype(np.int32)
@@ -952,15 +952,14 @@ def batch_align(
         steps, lens, ey, ex = walk_batch(
             dirs_dev, fmt, mode, sy_full, sx_full, t.shape[1], q.shape[1]
         )
+        qa_ws, ta_ws = decode_pair_batch(steps, lens, sy_full, sx_full, q, t)
         out = []
         for b in range(n_real):
             if skip_mask[b]:
                 out.append(None)
                 continue
-            qa_w, ta_w = decode_pair(steps, lens, sy_full, sx_full, b,
-                                     q[b], t[b])
             out.append(_pair_result(
-                mode, qa_w, ta_w, qs[b], ts[b], int(ql[b]), int(tl[b]),
+                mode, qa_ws[b], ta_ws[b], qs[b], ts[b], int(ql[b]), int(tl[b]),
                 int(sy_full[b]), int(sx_full[b]), int(ey[b]), int(ex[b]),
                 float(fmax_np[b]), alphabet,
             ))
@@ -1021,6 +1020,8 @@ def batch_align_pwm(
     dtype=None,
     with_alignments: bool = False,
     track_argmax: bool = True,
+    pad_to: int | None = None,
+    skip: np.ndarray | None = None,
 ):
     """Batched query-vs-PWM alignment (one PWM shared or (B, 4, W) batched).
 
@@ -1030,12 +1031,28 @@ def batch_align_pwm(
     bookkeeping when the caller consumes just ``fmax`` — the returned
     fy/fx/end are then backend-dependent filler (the window-scan
     z-filter path; +21% measured kernel-side, BENCH_modes pwm rows).
+
+    ``pad_to``/``skip`` as in :func:`batch_align`: padding problems are
+    zero-length (free — no duplicated fills/walks) and not returned;
+    skipped real problems return ``None`` (score 0 in scores-only mode).
     """
     pwm = np.asarray(pwm)
     if pwm.shape[-2] != 4:
         raise MatrixShapeError(f"PWM must have 4 rows, got {pwm.shape[-2]}")
     qs = [_encode(s, alphabet) for s in queries]
+    n_real = len(qs)
     q, ql = pad_batch(qs)
+    if skip is not None:
+        ql = np.where(np.asarray(skip, bool), 0, ql).astype(np.int32)
+    if pad_to is not None and n_real < pad_to:
+        extra = pad_to - n_real
+        q = np.pad(q, ((0, extra), (0, 0)))
+        ql = np.pad(ql, (0, extra))
+        if pwm.ndim == 3:
+            pwm = np.pad(pwm, ((0, extra), (0, 0), (0, 0)))
+    skip_mask = (
+        np.zeros(n_real, bool) if skip is None else np.asarray(skip, bool)[:n_real]
+    )
     backend = pick_backend(backend)
     if backend == "oracle":
         backend = "xla"
@@ -1053,12 +1070,12 @@ def batch_align_pwm(
         res = filled
     if not with_alignments:
         return BatchScores(
-            fmax=np.asarray(res.fmax), fy=np.asarray(res.fy),
-            fx=np.asarray(res.fx), end=np.asarray(res.end),
+            fmax=np.asarray(res.fmax)[:n_real], fy=np.asarray(res.fy)[:n_real],
+            fx=np.asarray(res.fx)[:n_real], end=np.asarray(res.end)[:n_real],
         )
     width = pwm.shape[-1]
     if use_dev:
-        from .ops.device_walk import decode_pwm, walk_batch
+        from .ops.device_walk import decode_pwm_batch, walk_batch
 
         sy = np.asarray(res.fy, np.int32)
         sx = np.asarray(res.fx, np.int32)
@@ -1067,16 +1084,19 @@ def batch_align_pwm(
             dirs_dev, fmt, "local", sy, sx, q.shape[1], width
         )
         fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
+        qa_ws, num_ws = decode_pwm_batch(steps, lens, sy, sx, q)
         out = []
-        for b in range(len(qs)):
-            qa, numbered = decode_pwm(steps, lens, sy, sx, b, qs[b])
+        for b in range(n_real):
+            if skip_mask[b]:
+                out.append(None)
+                continue
             coords = (
                 (int(ex[b]) + 1, int(sx[b]) + 1),
                 (int(ey[b]) + 1, int(sy[b]) + 1),
             )
             out.append(
                 AlignmentResult(
-                    PWMAlignment(numbered, qa, width, coords,
+                    PWMAlignment(num_ws[b], qa_ws[b], width, coords,
                                  float(fmax_np[b]), alphabet)
                 )
             )
@@ -1086,7 +1106,10 @@ def batch_align_pwm(
     fy_np = np.asarray(res.fy)
     fx_np = np.asarray(res.fx)
     out = []
-    for b in range(len(qs)):
+    for b in range(n_real):
+        if skip_mask[b]:
+            out.append(None)
+            continue
         d = dirs[b, : ql[b] + 1, : width + 1]
         qa, numbered, coords = traceback_pwm(d, int(fy_np[b]), int(fx_np[b]), qs[b])
         out.append(

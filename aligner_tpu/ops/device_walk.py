@@ -142,6 +142,46 @@ def decode_pair(steps, lens, sy, sx, b: int, q: np.ndarray, t: np.ndarray):
     return qa[::-1], ta[::-1]
 
 
+def _cursor_replay_all(d: np.ndarray, sy, sx):
+    """All-problems cursor replay: (y, x) positions BEFORE each step for
+    the whole (S, B) step array at once (two cumsums instead of 2·B)."""
+    up = (d == TOP) | (d == DIAG)
+    lf = (d == LEFT) | (d == DIAG)
+    z = np.zeros((1, d.shape[1]), np.int64)
+    y_at = np.asarray(sy, np.int64)[None, :] - np.concatenate(
+        [z, np.cumsum(up[:-1], axis=0, dtype=np.int64)]
+    )
+    x_at = np.asarray(sx, np.int64)[None, :] - np.concatenate(
+        [z, np.cumsum(lf[:-1], axis=0, dtype=np.int64)]
+    )
+    return y_at, x_at
+
+
+def decode_pair_batch(steps, lens, sy, sx, q: np.ndarray, t: np.ndarray):
+    """Vectorized :func:`decode_pair` over ALL B problems in one pass.
+
+    ``q``/``t`` are the padded (B, L) code arrays.  Returns two lists of
+    per-problem arrays, bit-identical to calling ``decode_pair`` per b
+    (pinned by tests/test_device_walk.py) — the cumsums and gathers run
+    once over the (S, B) stream instead of B Python iterations
+    (simple/mod.rs:99-127 traceback at batch scale)."""
+    y_at, x_at = _cursor_replay_all(steps, sy, sx)
+    # clip only guards rows past lens[b] (sliced off below); real steps
+    # never gather out of range (a consuming step has cursor >= 1)
+    qi = np.clip(x_at - 1, 0, q.shape[1] - 1)
+    ti = np.clip(y_at - 1, 0, t.shape[1] - 1)
+    qa_all = np.where(
+        steps == TOP, BLANK, np.take_along_axis(q.T, qi, axis=0)
+    ).astype(np.int16)
+    ta_all = np.where(
+        steps == LEFT, BLANK, np.take_along_axis(t.T, ti, axis=0)
+    ).astype(np.int16)
+    return (
+        [qa_all[: lens[b], b][::-1] for b in range(steps.shape[1])],
+        [ta_all[: lens[b], b][::-1] for b in range(steps.shape[1])],
+    )
+
+
 def decode_pwm(steps, lens, sy, sx, b: int, q: np.ndarray):
     """PWM-mode decode: ``numbered`` gets the pwm position (0 for gaps),
     qa the query char / BLANK (an_traceback pwm_mode semantics)."""
@@ -150,3 +190,18 @@ def decode_pwm(steps, lens, sy, sx, b: int, q: np.ndarray):
     qa = np.where(d == LEFT, BLANK, q[y_at - 1]).astype(np.int16)
     numbered = np.where(d == TOP, 0, x_at).astype(np.int32)
     return qa[::-1], numbered[::-1]
+
+
+def decode_pwm_batch(steps, lens, sy, sx, q: np.ndarray):
+    """Vectorized :func:`decode_pwm` over ALL B problems (``q`` is the
+    padded (B, L) code array); bit-identical per-problem output."""
+    y_at, x_at = _cursor_replay_all(steps, sy, sx)
+    qi = np.clip(y_at - 1, 0, q.shape[1] - 1)
+    qa_all = np.where(
+        steps == LEFT, BLANK, np.take_along_axis(q.T, qi, axis=0)
+    ).astype(np.int16)
+    num_all = np.where(steps == TOP, 0, x_at).astype(np.int32)
+    return (
+        [qa_all[: lens[b], b][::-1] for b in range(steps.shape[1])],
+        [num_all[: lens[b], b][::-1] for b in range(steps.shape[1])],
+    )

@@ -173,15 +173,15 @@ def calculate_cycle(
         # changes every cycle, and each new batch shape is a fresh
         # kernel compile (~60s on the remote-compile tunnel) — the
         # CLAUDE.md constant-shapes invariant.  Power-of-two buckets
-        # keep the padding waste < 2x and the variant count log-bounded.
+        # keep the variant count log-bounded; ``pad_to`` padding is
+        # zero-length problems (free), not duplicated real fills.
         bucket = 1
         while bucket < len(qs):
             bucket *= 2
-        pad_n = bucket - len(qs)
         full = batch_align_pwm(
-            qs + [qs[0]] * pad_n, matrix, opts.deletions, opts.extension,
-            backend=opts.backend, with_alignments=True,
-        )[: len(qs)]
+            qs, matrix, opts.deletions, opts.extension,
+            backend=opts.backend, with_alignments=True, pad_to=bucket,
+        )
         for res, i in zip(full, idxs):
             j, border = wins[i]
             tasks.append(

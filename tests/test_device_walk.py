@@ -157,3 +157,64 @@ def test_device_walk_hardware_spot(rng, monkeypatch):
         assert np.array_equal(a.alignment.numbered, b.alignment.numbered)
         assert a.alignment.coords == b.alignment.coords
         assert a.alignment.f == b.alignment.f
+
+
+def test_decode_batch_matches_per_problem(rng):
+    """decode_pair_batch / decode_pwm_batch (the vectorized decode tail)
+    are bit-identical to the per-problem decoders on random step
+    streams."""
+    from aligner_tpu.ops.device_walk import (
+        decode_pair, decode_pair_batch, decode_pwm, decode_pwm_batch,
+    )
+
+    B, S, L = 13, 40, 48
+    steps = rng.integers(0, 4, (S, B)).astype(np.uint8)
+    # force every stream to terminate (BEG tail) and count real steps
+    lens = rng.integers(0, S, B).astype(np.int32)
+    sy = rng.integers(np.maximum(lens, 1), L + 1).astype(np.int32)
+    sx = rng.integers(np.maximum(lens, 1), L + 1).astype(np.int32)
+    q = rng.integers(0, 24, (B, L)).astype(np.int32)
+    t = rng.integers(0, 24, (B, L)).astype(np.int32)
+    qa_all, ta_all = decode_pair_batch(steps, lens, sy, sx, q, t)
+    for b in range(B):
+        qa, ta = decode_pair(steps, lens, sy, sx, b, q[b], t[b])
+        assert np.array_equal(qa_all[b], qa)
+        assert np.array_equal(ta_all[b], ta)
+    qa_all, num_all = decode_pwm_batch(steps, lens, sy, sx, q)
+    for b in range(B):
+        qa, num = decode_pwm(steps, lens, sy, sx, b, q[b])
+        assert np.array_equal(qa_all[b], qa)
+        assert np.array_equal(num_all[b], num)
+
+
+def test_batch_align_pwm_pad_and_skip(rng, monkeypatch):
+    """batch_align_pwm pad_to/skip: padded problems are free and not
+    returned; skipped problems return None (score 0 in scores-only
+    mode); survivors are bit-equal to an unpadded run — the repeat
+    engine's survivor-bucket contract (engine/calc.rs:88-147)."""
+    pwm = rng.integers(-3, 9, (4, 12)).astype(np.float64)
+    qs4 = [rng.integers(0, 4, rng.integers(8, 40)).astype(np.int8)
+           for _ in range(5)]
+    for flag in ("1", "0"):
+        monkeypatch.setenv("ALIGNER_DEVICE_WALK", flag)
+        plain = batch_align_pwm(qs4, pwm, 3.0, 1.0, backend="xla",
+                                with_alignments=True)
+        skip = np.array([False, True, False, False, True])
+        padded = batch_align_pwm(qs4, pwm, 3.0, 1.0, backend="xla",
+                                 with_alignments=True, pad_to=8, skip=skip)
+        assert len(padded) == 5
+        for a, b, s in zip(padded, plain, skip):
+            if s:
+                assert a is None
+                continue
+            assert np.array_equal(a.alignment.query, b.alignment.query)
+            assert np.array_equal(a.alignment.numbered, b.alignment.numbered)
+            assert a.alignment.coords == b.alignment.coords
+            assert a.alignment.f == b.alignment.f
+    scores = batch_align_pwm(qs4, pwm, 3.0, 1.0, backend="xla",
+                             with_alignments=False, pad_to=8, skip=skip)
+    ref = batch_align_pwm(qs4, pwm, 3.0, 1.0, backend="xla",
+                          with_alignments=False)
+    assert scores.fmax.shape == (5,)
+    assert np.array_equal(scores.fmax[~skip], ref.fmax[~skip])
+    assert np.all(scores.fmax[skip] == 0)
