@@ -40,6 +40,13 @@ _SCHEMA = [
 ]
 
 HEALTH_WINDOW = 15.0  # seconds of silence before a consumer drops out
+# default job lease.  A cold TPU worker's first compile can far exceed
+# this (724.9 s measured through the remote-compile tunnel), so liveness
+# is NOT the lease alone: every heartbeat also extends the heartbeating
+# consumer's unexpired leases (the max.poll.interval-style liveness the
+# reference gets from Kafka, node/main.rs:32-44) — a slow-but-alive
+# worker keeps its batch; only a silent one loses it.
+DEFAULT_LEASE = 120.0
 # dead consumers stay visible in /health/check this long (ops can see a
 # recent crash), then their rows are reaped — workers register a fresh
 # uuid name per start, so without retention the table and the health
@@ -91,16 +98,29 @@ class JobQueue:
         self.heartbeat(name, group)
         return name
 
-    def heartbeat(self, name: str, group: str) -> None:
+    def heartbeat(
+        self, name: str, group: str, lease: float = DEFAULT_LEASE
+    ) -> None:
+        """Refresh the consumer registry AND extend this consumer's job
+        leases to ``now + lease`` (see DEFAULT_LEASE).  Only jobs still
+        owned are touched: a job whose expired lease was already
+        reclaimed by another worker has a different ``consumer`` and is
+        left alone, so ownership can never be stolen back."""
+        now = time.time()
         with self._conn() as c:
             c.execute(
                 """insert into consumers (name, grp, last_seen) values (?,?,?)
                    on conflict(name) do update set last_seen = excluded.last_seen""",
-                (name, group, time.time()),
+                (name, group, now),
+            )
+            c.execute(
+                """update jobs set lease_until = max(lease_until, ?)
+                   where consumer = ? and status = 'claimed'""",
+                (now + lease, name),
             )
             c.execute(
                 "delete from consumers where last_seen < ?",
-                (time.time() - CONSUMER_RETENTION,),
+                (now - CONSUMER_RETENTION,),
             )
 
     def deregister_consumer(self, name: str) -> None:
@@ -154,7 +174,7 @@ class JobQueue:
         consumer: str,
         group: str = "aligner.jobs.group",
         limit: int = 64,
-        lease: float = 120.0,
+        lease: float = DEFAULT_LEASE,
     ) -> list[tuple[int, str]]:
         """Claim up to ``limit`` ready (or lease-expired) jobs.
 
@@ -202,6 +222,27 @@ class JobQueue:
                     ).fetchall()
                     claimed = [(int(r[0]), r[1]) for r in owned]
         return claimed
+
+    def peek(
+        self,
+        topic: str,
+        group: str = "aligner.jobs.group",
+        limit: int = 64,
+    ) -> list[str]:
+        """Payloads of up to ``limit`` currently-claimable jobs WITHOUT
+        claiming them — the worker ``--warmup`` reads real job shapes to
+        precompile its kernel set before taking any lease."""
+        now = time.time()
+        with self._conn() as c:
+            rows = c.execute(
+                """select payload from jobs
+                   where topic = ? and grp = ?
+                     and (status = 'ready'
+                          or (status = 'claimed' and lease_until < ?))
+                   order by id limit ?""",
+                (topic, group, now, limit),
+            ).fetchall()
+        return [r[0] for r in rows]
 
     def commit(self, job_ids: list[int]) -> None:
         if not job_ids:

@@ -21,6 +21,7 @@ failure (matching the node's single reconnect-retry).
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from collections import defaultdict
 
@@ -32,8 +33,45 @@ from ..alphabet import Protein
 from ..heuristic import Heuristics, heuristic_align_population
 from .dispatcher import GROUP, TOPIC_JOBS
 from .models import AlignJob
-from .queue import JobQueue, open_queue
+from .queue import HEALTH_WINDOW, JobQueue, open_queue
 from .store import Store, open_store
+
+
+class _LeaseKeeper:
+    """Background heartbeat while a claimed batch is being processed.
+
+    A cold worker's first kernel compile can take minutes (724.9 s
+    measured through the remote-compile tunnel) — far past the job
+    lease — so without this the first batch lease-expires mid-compile
+    and gets redelivered to every other cold worker in turn.  Each
+    heartbeat refreshes the consumer registry AND extends this worker's
+    unexpired leases (queue.heartbeat), the liveness contract Kafka's
+    max.poll.interval gave the reference for free (node/main.rs:32-44).
+    """
+
+    def __init__(self, queue, name: str, group: str,
+                 interval: float = HEALTH_WINDOW / 3.0):
+        self._queue = queue
+        self._name = name
+        self._group = group
+        self._interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(self._interval):
+            try:
+                self._queue.heartbeat(self._name, self._group)
+            except Exception:
+                pass  # a flaky state endpoint must not kill processing
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=self._interval + 5.0)
 
 
 class Worker:
@@ -54,6 +92,38 @@ class Worker:
         self.batch = batch
         self.backend = backend
 
+    def warmup(self) -> int:
+        """Precompile the kernel set for the next claimable batch WITHOUT
+        taking a lease: peek at the real pending payloads, rebuild the
+        exact shapes :func:`heuristic_align_population` will launch, and
+        run one all-skip launch per task group (zero-length problems —
+        free compute, full compile).  Returns task groups warmed.  The
+        first *leased* batch then starts hot instead of spending its
+        lease inside the compiler."""
+        from ..align import batch_align
+
+        by_task: dict[str, list[AlignJob]] = defaultdict(list)
+        for payload in self.queue.peek(TOPIC_JOBS, GROUP, limit=self.batch):
+            try:
+                job = AlignJob.from_json(payload)
+            except Exception:
+                continue  # poison handling belongs to process_batch
+            by_task[job.hash].append(job)
+        for jobs in by_task.values():
+            ref = jobs[0]
+            m = len(jobs)
+            mats = np.stack([np.asarray(j.matrix, np.float64) for j in jobs])
+            q = Protein.encode(ref.sequence_1, strict=False)
+            t = Protein.encode(ref.sequence_2, strict=False)
+            batch_align(
+                [q] * m, [t] * m, mats, ref.del_value, ref.del_value,
+                mode="local", backend=self.backend, with_alignments=True,
+                skip=np.ones(m, bool),
+            )
+        if by_task:
+            log.info("warmup: precompiled %d task group(s)", len(by_task))
+        return len(by_task)
+
     def process_batch(self) -> int:
         """Claim and process up to ``batch`` jobs; returns jobs handled."""
         self.queue.heartbeat(self.name, GROUP)
@@ -62,7 +132,10 @@ class Worker:
         )
         if not claimed:
             return 0
+        with _LeaseKeeper(self.queue, self.name, GROUP):
+            return self._process_claimed(claimed)
 
+    def _process_claimed(self, claimed: list[tuple[int, str]]) -> int:
         by_task: dict[str, list[tuple[int, AlignJob]]] = defaultdict(list)
         poison: list[int] = []
         for job_id, payload in claimed:
@@ -142,9 +215,15 @@ class Worker:
             self.queue.commit(done_ids)
         return len(claimed)
 
-    def run_forever(self, poll_interval: float = 0.5, max_batches: int | None = None):
+    def run_forever(self, poll_interval: float = 0.5,
+                    max_batches: int | None = None, warmup: bool = False):
         n = 0
         try:
+            if warmup:
+                try:
+                    self.warmup()
+                except Exception:
+                    log.warning("warmup failed; continuing cold", exc_info=True)
             while max_batches is None or n < max_batches:
                 handled = self.process_batch()
                 if handled == 0:
@@ -171,9 +250,13 @@ def main(argv=None):
     ap.add_argument("--poll-interval", type=float, default=0.5)
     ap.add_argument("--max-batches", type=int, default=None,
                     help="exit after N poll cycles (tests/bounded runs)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the kernel set against pending job "
+                         "shapes before claiming any lease (cold-start fix)")
     args = ap.parse_args(argv)
     Worker(name=args.name, batch=args.batch, backend=args.backend).run_forever(
-        poll_interval=args.poll_interval, max_batches=args.max_batches
+        poll_interval=args.poll_interval, max_batches=args.max_batches,
+        warmup=args.warmup,
     )
     return 0
 

@@ -96,6 +96,11 @@ else:
 PY
 fi
 
+# --warmup: precompile the kernel set against pending job shapes before
+# the first lease is taken, so a cold worker's first claimed batch does
+# not burn its lease inside the compiler (ALIGNER_NO_WARMUP=1 disables)
 # shellcheck disable=SC2086
 exec python -m aligner_tpu.service.worker \
-  --name "node-host${HOST_INDEX}" ${ALIGNER_WORKER_ARGS:-}
+  --name "node-host${HOST_INDEX}" \
+  $([ -z "${ALIGNER_NO_WARMUP:-}" ] && echo --warmup) \
+  ${ALIGNER_WORKER_ARGS:-}

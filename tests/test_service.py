@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -473,3 +474,117 @@ def test_service_load_three_consecutive(tmp_path):
             assert store.get_result_matrix_by_task_id(tid) is not None
             # promotion removed the subtask rows — no orphans
             assert store.get_percentage_by_hash(h) == 0.0
+
+
+def test_heartbeat_extends_leases(tmp_path):
+    """A heartbeating consumer's claimed jobs do NOT lease-expire: the
+    heartbeat pushes lease_until forward (Kafka max.poll.interval-style
+    liveness, node/main.rs:32-44), so a slow-but-alive worker keeps its
+    batch while a silent one still loses it."""
+    q = JobQueue(str(tmp_path / "q.db"))
+    q.produce(TOPIC_JOBS, "p1")
+    a = q.claim_batch(TOPIC_JOBS, "c1", lease=0.05)
+    assert len(a) == 1
+    q.heartbeat("c1", "aligner.jobs.group", lease=60.0)
+    time.sleep(0.1)  # past the ORIGINAL lease
+    assert q.claim_batch(TOPIC_JOBS, "c2") == []  # still owned by c1
+    # but a consumer that stops heartbeating does lose the job
+    q.produce(TOPIC_JOBS, "p2")
+    b = q.claim_batch(TOPIC_JOBS, "c3", lease=0.02)
+    assert len(b) == 1
+    time.sleep(0.05)
+    assert len(q.claim_batch(TOPIC_JOBS, "c4")) == 1  # redelivered
+
+
+def test_heartbeat_cannot_steal_back_reclaimed_job(tmp_path):
+    """Once an expired job was reclaimed by another consumer, the
+    original owner's heartbeat must not re-extend it (ownership moved —
+    the consumer column gates the lease update)."""
+    q = JobQueue(str(tmp_path / "q.db"))
+    q.produce(TOPIC_JOBS, "p1")
+    a = q.claim_batch(TOPIC_JOBS, "c1", lease=0.02)
+    assert len(a) == 1
+    time.sleep(0.05)
+    b = q.claim_batch(TOPIC_JOBS, "c2", lease=30.0)  # reclaim after expiry
+    assert len(b) == 1
+    q.heartbeat("c1", "aligner.jobs.group", lease=60.0)
+    with q._conn() as c:
+        owner, until = c.execute(
+            "select consumer, lease_until from jobs where id = ?", (b[0][0],)
+        ).fetchone()
+    assert owner == "c2"
+    assert until <= time.time() + 31.0  # c1's 60s extension did not apply
+
+
+def test_slow_worker_keeps_batch_while_heartbeating(svc, monkeypatch):
+    """End-to-end cold-compile scenario: a worker whose compute takes
+    longer than the job lease does NOT have its batch redelivered,
+    because _LeaseKeeper heartbeats extend the leases mid-processing."""
+    import aligner_tpu.service.worker as worker_mod
+
+    disp, store, queue = svc
+    disp.validate(REQ)
+
+    slow_called = {}
+    real = worker_mod.heuristic_align_population
+
+    def slow_population(*args, **kw):
+        # simulate a long first compile: several heartbeat intervals
+        # longer than the (shrunk) lease below
+        time.sleep(0.6)
+        slow_called["yes"] = True
+        return real(*args, **kw)
+
+    monkeypatch.setattr(worker_mod, "heuristic_align_population",
+                        slow_population)
+    # shrink the lease and the keeper interval so the scenario runs fast
+    orig_claim = JobQueue.claim_batch
+
+    def short_lease_claim(self, topic, consumer, group="aligner.jobs.group",
+                          limit=64, lease=120.0):
+        return orig_claim(self, topic, consumer, group, limit, lease=0.2)
+
+    monkeypatch.setattr(JobQueue, "claim_batch", short_lease_claim)
+    monkeypatch.setattr(worker_mod._LeaseKeeper, "__init__",
+                        lambda self, q, n, g, interval=0.05:
+                        _LeaseKeeper_init(self, q, n, g, interval))
+    w = Worker(store, queue, name="slowpoke", batch=64, backend="xla")
+    handled = w.process_batch()
+    assert slow_called.get("yes")
+    assert handled == 9
+    # nothing was redelivered to anyone else: every job is done
+    assert queue.pending(TOPIC_JOBS) == 0
+    with queue._conn() as c:
+        others = c.execute(
+            "select count(1) from jobs where consumer != 'slowpoke'"
+        ).fetchone()[0]
+    assert others == 0
+
+
+def _LeaseKeeper_init(self, q, n, g, interval):
+    import threading as _t
+
+    self._queue, self._name, self._group = q, n, g
+    self._interval = interval
+    self._stop = _t.Event()
+    self._thread = _t.Thread(target=self._run, daemon=True)
+
+
+def test_worker_warmup_claims_nothing(svc):
+    """--warmup precompiles against real pending payloads without taking
+    any lease: every job stays ready and is still claimable afterwards."""
+    disp, store, queue = svc
+    disp.validate(REQ)
+    before = queue.pending(TOPIC_JOBS)
+    w = Worker(store, queue, name="warm", batch=64, backend="xla")
+    groups = w.warmup()
+    assert groups == 3  # one per pair-task
+    assert queue.pending(TOPIC_JOBS) == before
+    with queue._conn() as c:
+        claimed = c.execute(
+            "select count(1) from jobs where status != 'ready'"
+        ).fetchone()[0]
+    assert claimed == 0
+    # and the warmed worker still processes everything
+    assert w.process_batch() == before
+    assert queue.pending(TOPIC_JOBS) == 0
