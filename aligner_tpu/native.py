@@ -41,9 +41,13 @@ _p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 def _build(so_path: str) -> bool:
     try:
         os.makedirs(os.path.dirname(so_path), exist_ok=True)
+        # -ffp-contract=off: GCC contracts a*b+c into FMA by default,
+        # which rounds once instead of twice — the statistics fit (and
+        # any future float kernel) must round exactly like NumPy's
+        # elementwise ops to keep the bit-exactness contract
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", so_path, _SRC],
+            ["g++", "-O3", "-march=native", "-ffp-contract=off",
+             "-shared", "-fPIC", "-o", so_path, _SRC],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -73,7 +77,7 @@ def _load() -> ctypes.CDLL | None:
                     continue
             try:
                 lib = ctypes.CDLL(so)
-                if lib.an_abi_version() != 2:
+                if lib.an_abi_version() != 3:
                     continue
                 _bind(lib)
                 _LIB = lib
@@ -120,6 +124,11 @@ def _bind(lib: ctypes.CDLL) -> None:
         _p_i64, _p_i64, _p_i16, _p_i16, _p_i64,
     ]
     lib.an_walk_local_cols.restype = ctypes.c_int
+    lib.an_estimate_h.argtypes = [
+        _p_f64, _p_f64, _p_f64, _i64, ctypes.c_double, ctypes.c_double,
+        _i64, ctypes.c_double, _p_f64,
+    ]
+    lib.an_estimate_h.restype = ctypes.c_double
 
 
 def available() -> bool:
@@ -303,6 +312,26 @@ def align_local_stream(q, t, matrix, del_: float, ext: float,
     ta = np.concatenate([ta_buf[:nn][::-1], [np.int16(t[my - 1])]])
     coords = ((int(cx[0]) + 1, mx + 1), (int(cy[0]) + 1, my + 1))
     return float(bv[0]), qa, ta, coords
+
+
+def estimate_h(log_kqt: np.ndarray, kexp: np.ndarray, tl: np.ndarray,
+               qlen: float, old_h: float, maxiter: int,
+               threshold: float) -> float:
+    """Compiled h-search (statistics/mod.rs:191-238) — bit-identical to
+    statistics._estimate_h's Python loop (same expression structure,
+    numpy-pairwise sums, -ffp-contract=off; self-checked at first use
+    by statistics.py)."""
+    lib = _load()
+    assert lib is not None
+    log_kqt = np.ascontiguousarray(log_kqt, np.float64)
+    kexp = np.ascontiguousarray(kexp, np.float64)
+    tl = np.ascontiguousarray(tl, np.float64)
+    n = len(tl)
+    scratch = np.empty(2 * max(n, 1), np.float64)
+    return float(lib.an_estimate_h(
+        log_kqt, kexp, tl, n, float(qlen), float(old_h),
+        int(maxiter), float(threshold), scratch,
+    ))
 
 
 def encode(raw: bytes | np.ndarray, lut256: np.ndarray, vol: int):

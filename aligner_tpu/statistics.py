@@ -104,20 +104,10 @@ def _estimate_k_and_lambda(qlen, tl, scores, old_k, old_lambda, h):
     return float(k), float(lam)
 
 
-def _estimate_h(qlen, tl, scores, k, lam, old_h):
-    """Step-halving/doubling search on h (statistics/mod.rs:191-238).
-
-    Only ``h`` changes across iterations, so the two transcendental
-    arrays — ``log(k·qlen·tl)`` and ``k·exp(-lam·scores)`` — are hoisted
-    out of the loop verbatim (same expressions, same association:
-    bit-identical results, pinned by test_statistics_pinned).  A
-    non-converging search burns the reference's full MAXITER=10000
-    iterations; the hoist roughly halves that worst case's wall time."""
-    h = old_h
-    with np.errstate(all="ignore"):
-        log_kqt = np.log(k * qlen * tl)
-        kexp = k * np.exp(-lam * scores)
-    for _ in range(MAXITER + 1):
+def _estimate_h_loop(log_kqt, kexp, tl, qlen, h, maxiter):
+    """The h-search loop body as the pure-Python semantics oracle
+    (statistics/mod.rs:191-238; see :func:`_estimate_h`)."""
+    for _ in range(maxiter + 1):
         with np.errstate(all="ignore"):
             l = log_kqt / h
             nn = (qlen - l) * (tl - l)
@@ -139,6 +129,71 @@ def _estimate_h(qlen, tl, scores, k, lam, old_h):
             with np.errstate(all="ignore"):
                 h = h - h_g / h_gd
     return float(h)
+
+
+_NATIVE_H: bool | None = None  # None = not yet self-checked
+
+
+def _native_h_ok() -> bool:
+    """One-time bitwise self-check of the compiled h-search against the
+    Python loop.  The native path replays the same expression structure
+    with numpy-pairwise sums and FMA contraction disabled, so it SHOULD
+    be bit-identical on any IEEE-754 platform; this probe proves it on
+    the running one (three regimes: converging, slow-diverging, and a
+    step-halving-heavy search) and falls back permanently if not."""
+    global _NATIVE_H
+    if _NATIVE_H is None:
+        from . import native
+
+        if not native.available():
+            _NATIVE_H = False
+            return False
+        rng = np.random.default_rng(12345)
+        qlen = 400.0
+        tl = np.asarray(400 - rng.integers(0, 7, 160), np.float64)
+        scores = np.round(rng.gumbel(30.0, 8.0, 160), 0)
+        ok = True
+        for k, lam, h0 in (
+            (2e-3, 0.25, 1.0),       # converges
+            (1.39e-5, 7.55e-3, 1.0),  # slow non-converging regime
+            (0.5, 4.5, 0.3),          # halving/doubling-heavy
+        ):
+            with np.errstate(all="ignore"):
+                log_kqt = np.log(k * qlen * tl)
+                kexp = k * np.exp(-lam * scores)
+            a = native.estimate_h(log_kqt, kexp, tl, qlen, h0, 600,
+                                  THRESHOLD_LOCAL)
+            b = _estimate_h_loop(log_kqt, kexp, tl, qlen, h0, 600)
+            if not (a == b or (np.isnan(a) and np.isnan(b))):
+                ok = False
+                break
+        _NATIVE_H = ok
+    return _NATIVE_H
+
+
+def _estimate_h(qlen, tl, scores, k, lam, old_h):
+    """Step-halving/doubling search on h (statistics/mod.rs:191-238).
+
+    Only ``h`` changes across iterations, so the two transcendental
+    arrays — ``log(k·qlen·tl)`` and ``k·exp(-lam·scores)`` — are hoisted
+    out of the loop verbatim (same expressions, same association:
+    bit-identical results, pinned by test_statistics_pinned).  The loop
+    itself — the measured cost center: a non-converging search burns the
+    reference's full MAXITER=10000 iterations, compiled in Rust but
+    interpreted here — runs in the native C++ ext (an_estimate_h) when
+    the one-time bitwise self-check passes, else in the Python oracle
+    loop.  Both paths are pinned bit-identical by test_statistics_pinned.
+    """
+    with np.errstate(all="ignore"):
+        log_kqt = np.log(k * qlen * tl)
+        kexp = k * np.exp(-lam * scores)
+    if _native_h_ok():
+        from . import native
+
+        return native.estimate_h(
+            log_kqt, kexp, tl, qlen, old_h, MAXITER, THRESHOLD_LOCAL
+        )
+    return _estimate_h_loop(log_kqt, kexp, tl, qlen, old_h, MAXITER)
 
 
 def calculate_distribution_params(
@@ -170,6 +225,26 @@ def calculate_distribution_params(
     active_tl = tl.copy()
     active_scores = scores.copy()
 
+    # Exact early-exit for stationary non-convergence: the loop body is
+    # a pure function of (h, log_likelihood, active set) — the k/λ
+    # estimate restarts from the constant (k0, lam0) every iteration
+    # (the shadowing quirk) and tl/scores never change.  If one
+    # iteration reproduces its own input state BIT FOR BIT, every later
+    # iteration must repeat it too, so the loop provably runs to
+    # MAXITER and returns (k0, lam0, h) — which we can do immediately.
+    # This is the common regime on real score sets (the fit walks into
+    # h = NaN, the outlier filter empties the active set, and the state
+    # freezes; measured 6/8 real-shuffle seeds burn all 10001
+    # iterations this way).  Bit-identical by construction and pinned
+    # by test_statistics_pinned against the full-loop interpreter.
+    def _state_sig(k, lam, h, ll, keep):
+        return (
+            np.float64(k).tobytes(), np.float64(lam).tobytes(),
+            np.float64(h).tobytes(), np.float64(ll).tobytes(),
+            keep.tobytes(),
+        )
+
+    prev_sig = None
     for _ in range(MAXITER + 1):
         # NOTE: restarts from (k0, lam0) each outer iteration — the Rust
         # `let (k, lambda)` shadows the outer immutable bindings.
@@ -194,6 +269,10 @@ def calculate_distribution_params(
 
         with np.errstate(all="ignore"):
             keep = n * (1.0 - np.exp(-k * nn * np.exp(-lam * scores))) >= 1.0
+        sig = _state_sig(k, lam, h, ll_new, keep)
+        if sig == prev_sig:
+            return DistributionParams(k0, lam0, h)  # provably exhausts
+        prev_sig = sig
         active_tl = tl[keep]
         active_scores = scores[keep]
 

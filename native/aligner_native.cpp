@@ -393,6 +393,91 @@ int an_walk_local_cols(const uint8_t* dirs, int64_t tn, int64_t x0,
   return x == 0;  // column 0 is all-BEG border: the walk is done there
 }
 
-int an_abi_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Statistics ML fit: the step-halving/doubling h-search
+// (statistics/mod.rs:191-238), the measured cost center of
+// calculate_p_value (a non-converging search burns MAXITER=10000
+// iterations of ~12 NumPy array ops; here it is one C loop).
+//
+// Bit-exactness contract: the Python fallback in aligner_tpu/statistics.py
+// stays the semantics oracle; this function must reproduce it EXACTLY.
+// Three ingredients make that possible:
+//   * the loop body is pure arithmetic — the transcendentals
+//     (log(k·qlen·tl) and k·exp(-λ·scores)) are loop-invariant and are
+//     computed by NumPy in the caller (np.exp/np.log are NOT
+//     reproducible by libm — measured ~5% ULP mismatches);
+//   * sums use numpy's exact pairwise-summation algorithm (below);
+//   * the build disables FMA contraction (-ffp-contract=off in
+//     native.py) so every double op rounds exactly like NumPy's
+//     elementwise kernels.
+// statistics.py additionally self-checks this path bit-for-bit against
+// the Python loop on a probe dataset at first use and falls back if the
+// platform ever diverges.
+
+namespace {
+
+// np.sum's pairwise summation (numpy/core/src/umath/loops.c.src,
+// pairwise_sum_DOUBLE): sequential < 8, 8-accumulator unrolled <= 128,
+// recursive halving above (split rounded down to a multiple of 8).
+double pw_sum(const double* a, int64_t n) {
+  if (n < 8) {
+    double s = 0.0;
+    for (int64_t i = 0; i < n; ++i) s += a[i];
+    return s;
+  }
+  if (n <= 128) {
+    double r[8];
+    for (int j = 0; j < 8; ++j) r[j] = a[j];
+    int64_t i = 8;
+    for (; i < n - (n % 8); i += 8)
+      for (int j = 0; j < 8; ++j) r[j] += a[i + j];
+    double s = ((r[0] + r[1]) + (r[2] + r[3])) + ((r[4] + r[5]) + (r[6] + r[7]));
+    for (; i < n; ++i) s += a[i];
+    return s;
+  }
+  int64_t n2 = n / 2;
+  n2 -= n2 % 8;
+  return pw_sum(a, n2) + pw_sum(a + n2, n - n2);
+}
+
+}  // namespace
+
+// h-search (statistics/mod.rs:191-238; Python oracle
+// statistics._estimate_h).  log_kqt = np.log(k*qlen*tl), kexp =
+// k*np.exp(-lam*scores), both precomputed by NumPy.  scratch holds
+// 2*n doubles.  Expression structure mirrors the NumPy source line for
+// line (same association, same parenthesization — see the oracle).
+double an_estimate_h(const double* log_kqt, const double* kexp,
+                     const double* tl, int64_t n, double qlen, double old_h,
+                     int64_t maxiter, double threshold, double* scratch) {
+  double h = old_h;
+  double* s_g = scratch;
+  double* s_gd = scratch + n;
+  for (int64_t it = 0; it < maxiter + 1; ++it) {
+    for (int64_t i = 0; i < n; ++i) {
+      const double l = log_kqt[i] / h;
+      const double nn = (qlen - l) * (tl[i] - l);
+      const double a = (2.0 * l - qlen) - tl[i];
+      const double b = 1.0 / nn - kexp[i];
+      const double c = (-l) / h;
+      s_g[i] = (a * b) * c;
+      const double u = (a * c) / nn;
+      s_gd[i] = ((2.0 * b) * (c * c) - u * u) - ((((2.0 * a) * b) * c) / h);
+    }
+    const double h_g = pw_sum(s_g, n);
+    const double h_gd = pw_sum(s_gd, n);
+    if (std::fabs(h_g) < threshold) return h;
+    if (h_gd > 0.0) {
+      h = (h_g > 0.0) ? h * 2.0 : h / 2.0;
+    } else if (h_g <= 0.0) {
+      h = h / 2.0;
+    } else {
+      h = h - h_g / h_gd;
+    }
+  }
+  return h;
+}
+
+int an_abi_version() { return 3; }
 
 }  // extern "C"

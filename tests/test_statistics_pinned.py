@@ -140,3 +140,67 @@ def test_inner_estimators_match_interpreter():
     hp = S._estimate_h(float(qlen), tlf, sc, kp, lp, 1.0)
     hi = R.estimate_h_by_parameters(qlen, tl, sc, kp, lp, 1.0, 10000)
     assert hp == hi
+
+
+def test_native_h_matches_python_loop():
+    """The compiled h-search (native.an_estimate_h: numpy-pairwise sums,
+    -ffp-contract=off) is bit-identical to the Python oracle loop across
+    regimes (converging, non-converging, halving-heavy, NaN)."""
+    from aligner_tpu import native
+
+    if not native.available():
+        pytest.skip("native ext unavailable")
+    assert S._native_h_ok()  # the first-use self-check itself
+    rng0 = np.random.default_rng(77)
+    for trial in range(40):
+        rng = np.random.default_rng(trial)
+        n = int(rng0.integers(1, 700))
+        qlen = float(rng0.integers(50, 1200))
+        tl = np.asarray(rng0.integers(50, 1200) - rng.integers(0, 7, n), np.float64)
+        scores = np.round(
+            rng.gumbel(rng0.uniform(2, 150), rng0.uniform(0.5, 40), n), 0
+        )
+        k = float(10.0 ** rng0.uniform(-8, 3))
+        lam = float(10.0 ** rng0.uniform(-4, 2))
+        h0 = float(rng0.uniform(0.05, 5))
+        mi = int(rng0.integers(1, 500))
+        with np.errstate(all="ignore"):
+            log_kqt = np.log(k * qlen * tl)
+            kexp = k * np.exp(-lam * scores)
+        a = native.estimate_h(log_kqt, kexp, tl, qlen, h0, mi,
+                              S.THRESHOLD_LOCAL)
+        b = S._estimate_h_loop(log_kqt, kexp, tl, qlen, h0, mi)
+        assert a == b or (np.isnan(a) and np.isnan(b))
+
+
+def test_stationary_shortcut_equals_exhausted_loop():
+    """The outer-loop stationarity early-exit returns EXACTLY what the
+    full MAXITER exhaustion would (the interpreter runs the loop in
+    full): the common real-workload regime where the fit walks into
+    h = NaN and freezes burns 10001 iterations in the reference but
+    must produce the same (k0, lam0, h)."""
+    S.MAXITER = 400  # enough for the interpreter to run honestly
+    rng = np.random.default_rng(70)
+    n = 400
+    tl = 400 - rng.integers(0, 7, n)
+    # heavy-tailed scores drive the NaN-freeze (observed on real
+    # shuffled-alignment score sets for most seeds)
+    scores = np.round(rng.gumbel(loc=110.5, scale=3.7, size=n), 0)
+
+    calls = {"n": 0}
+    orig = S._estimate_k_and_lambda
+
+    def counting(*a):
+        calls["n"] += 1
+        return orig(*a)
+
+    S._estimate_k_and_lambda = counting
+    try:
+        p = S.calculate_distribution_params(400, tl, scores)
+    finally:
+        S._estimate_k_and_lambda = orig
+    ki, li, hi = R.calculate_distribution_params(400, tl, scores, maxiter=400)
+    assert p.k == ki and p.lambda_ == li
+    assert p.h == hi or (np.isnan(p.h) and np.isnan(hi))
+    # and the shortcut actually fired (far fewer than 401 iterations)
+    assert calls["n"] < 50
