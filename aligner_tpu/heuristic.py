@@ -18,12 +18,14 @@ iteration, with converged problems masked out).
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 
 import numpy as np
 
 from .align import align_local, align_pwm, batch_align
 from .alphabet import DNA, Alphabet, Protein
-from .errors import MissingArgument, ValidationError
+from .errors import MissingArgument, ValidationError, WrongMatrixSpecified
 from .matrices import transform_matrix
 from .result import AlignmentResult
 
@@ -131,6 +133,268 @@ def heuristic_align_pwm(
     return result
 
 
+_POP_LOOP_JIT = None
+
+
+def _population_device_loop(*args, **kw):
+    """Lazily-jitted wrapper for :func:`_population_device_loop_impl`
+    (jax is imported on first use, and the jit cache is shared across
+    calls so one compile covers every task with the same shapes)."""
+    global _POP_LOOP_JIT
+    if _POP_LOOP_JIT is None:
+        import jax
+
+        _POP_LOOP_JIT = jax.jit(
+            _population_device_loop_impl,
+            static_argnames=("backend", "del_", "ext"),
+        )
+    return _POP_LOOP_JIT(*args, **kw)
+
+
+def _population_device_loop_impl(q2, ql0, t2, tl0, transformed, freqs, kd,
+                                 r2, max_iters, *, backend, del_, ext):
+    """The WHOLE heuristic population loop as one device dispatch.
+
+    A ``lax.while_loop`` whose body runs fill → traceback walk →
+    frequency-matrix scatter-add → ``transform_matrix_jax`` for every
+    still-improving member (SURVEY C5's device scatter-add mandate; the
+    reference's service hot loop is node/main.rs:61-74 around
+    heuristic/mod.rs:58-77).  Converged members are masked to
+    zero-length problems (constant compiled shapes); the host reads back
+    only the final (done, dead, max_f, transformed) state.
+
+    Semantics per member follow :func:`heuristic_align` exactly except
+    that in-loop matrix transforms round in the device dtype (f32 on
+    TPU) instead of host f64 — the fill/walk/count pipeline itself is
+    bit-exact (counts are small integers), pinned by
+    tests/test_heuristic_stats.py; a transform with no real roots
+    propagates NaN instead of raising and is surfaced by the caller.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .matrices import transform_matrix_jax
+    from .ops.device_walk import DIAG, LEFT, TOP, _walk_device
+
+    M, V = transformed.shape[0], transformed.shape[-1]
+    Cq, Rt = q2.shape[1], t2.shape[1]
+    S = Rt + Cq + 1
+    dtype = transformed.dtype
+
+    def fill(trans, ql, tl):
+        if backend == "pallas":
+            from .ops.pallas_dp import fill_full_traced
+
+            fmax, fy, fx, end, words = fill_full_traced(
+                q2, ql, t2, tl, trans, del_, ext, mode="local", dtype=dtype
+            )
+            return fmax, fy, fx, words.reshape(M, -1), "packed", 0
+        from .ops.scan_engine import fill_batch
+
+        r = fill_batch(q2, ql, t2, tl, trans, del_, ext, mode="local",
+                       with_planes=True, dtype=dtype)
+        return r.fmax, r.fy, r.fx, r.dirs.reshape(M, -1), "dense", Cq + 1
+
+    def body(state):
+        it, done, dead, max_f, trans = state
+        ql = jnp.where(done, 0, ql0)
+        tl = jnp.where(done, 0, tl0)
+        fmax, fy, fx, flat, fmt, w1 = fill(trans, ql, tl)
+        fy = jnp.asarray(fy, jnp.int32)
+        fx = jnp.asarray(fx, jnp.int32)
+        packed, n, ey, ex = _walk_device(
+            flat, fy, fx, S=S, fmt=fmt, mode="local", C=Cq, W1=w1
+        )
+        # unpack the 2-bit step stream on device: (S, M) codes
+        shifts = jnp.arange(16, dtype=jnp.int32) * 2
+        d = (packed[:, None, :] >> shifts[None, :, None]) & 3
+        steps = d.reshape(-1, M)[:S]
+        up = (steps == TOP) | (steps == DIAG)
+        lf = (steps == LEFT) | (steps == DIAG)
+        z = jnp.zeros((1, M), jnp.int32)
+        y_at = fy[None, :] - jnp.concatenate(
+            [z, jnp.cumsum(up[:-1], axis=0, dtype=jnp.int32)]
+        )
+        x_at = fx[None, :] - jnp.concatenate(
+            [z, jnp.cumsum(lf[:-1], axis=0, dtype=jnp.int32)]
+        )
+        # frequency matrices: count (t_char, q_char) on DIAG steps (the
+        # TOP/LEFT steps emit a blank on one side and are excluded by
+        # alignment.rs:13-23) + the seeded argmax-cell pair
+        valid = (jnp.arange(S)[:, None] < n[None, :]) & (steps == DIAG)
+        tc = jnp.take_along_axis(t2.T, jnp.clip(y_at - 1, 0, Rt - 1), axis=0)
+        qc = jnp.take_along_axis(q2.T, jnp.clip(x_at - 1, 0, Cq - 1), axis=0)
+        bidx = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, :], (S, M)
+        )
+        flat_idx = (bidx * (V * V) + tc * V + qc).ravel()
+        freq = jnp.zeros((M * V * V), dtype).at[flat_idx].add(
+            valid.ravel().astype(dtype)
+        )
+        seed_t = jnp.take_along_axis(
+            t2, jnp.clip(fy - 1, 0, Rt - 1)[:, None], axis=1
+        )[:, 0]
+        seed_q = jnp.take_along_axis(
+            q2, jnp.clip(fx - 1, 0, Cq - 1)[:, None], axis=1
+        )[:, 0]
+        alive = ~done
+        seed_ok = alive & (fy > 0) & (fx > 0)
+        sidx = jnp.arange(M, dtype=jnp.int32) * (V * V) + seed_t * V + seed_q
+        freq = freq.at[sidx].add(seed_ok.astype(dtype)).reshape(M, V, V)
+
+        newt = jax.vmap(
+            lambda f: transform_matrix_jax(f, kd, r2, freqs)
+        )(freq)
+        newly_dead = alive & ((fy == 0) | (fx == 0))
+        improved = alive & ~newly_dead & (fmax > max_f)
+        trans = jnp.where(improved[:, None, None], newt, trans)
+        max_f = jnp.where(improved, fmax, max_f)
+        done = done | (alive & ~improved)
+        dead = dead | newly_dead
+        return it + 1, done, dead, max_f, trans
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < max_iters) & ~done.all()
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros(M, bool),
+        jnp.zeros(M, bool),
+        jnp.zeros(M, dtype),
+        transformed,
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _use_device_loop(backend: str) -> bool:
+    """Default the fused population loop to ON for accelerator platforms
+    (the per-iteration host round-trip is what it removes); the host
+    loop stays the strict-f64-transform reference path.
+    ALIGNER_POP_DEVICE_LOOP=0/1 overrides."""
+    env = os.environ.get("ALIGNER_POP_DEVICE_LOOP")
+    if env is not None:
+        return env != "0"
+    if backend == "oracle":
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _population_fused(
+    q: np.ndarray,
+    t: np.ndarray,
+    transformed: np.ndarray,  # (M, V, V) f64, already host-transformed
+    del_: float,
+    ext: float,
+    heuristics: Heuristics,
+    r_squared: float,
+    *,
+    alphabet: type[Alphabet],
+    backend: str,
+    max_iters: int,
+) -> list[AlignmentResult]:
+    """Fused-device population driver (see _population_device_loop_impl).
+
+    The whole improve-until-stall loop runs as ONE dispatch; a final
+    with-alignments launch (one more dispatch) recomputes each member's
+    stopping alignment from its stopping matrix — deterministic fills
+    make it identical to the loop's last accepted alignment."""
+    import jax.numpy as jnp
+
+    from .backend import default_dtype
+
+    M, V = transformed.shape[0], transformed.shape[-1]
+    dtype = default_dtype()
+    pad8 = lambda n: -(-n // 8) * 8
+    q2 = np.zeros((M, pad8(len(q))), np.int32)
+    q2[:, : len(q)] = q
+    t2 = np.zeros((M, pad8(len(t))), np.int32)
+    t2[:, : len(t)] = t
+    ql0 = np.full(M, len(q), np.int32)
+    tl0 = np.full(M, len(t), np.int32)
+
+    it, done, dead, max_f, trans = _population_device_loop(
+        q2, ql0, t2, tl0, jnp.asarray(transformed, dtype),
+        jnp.asarray(heuristics.frequencies, dtype),
+        jnp.asarray(heuristics.kd, dtype), jnp.asarray(r_squared, dtype),
+        jnp.asarray(int(max_iters), jnp.int32),
+        backend=backend, del_=float(del_), ext=float(ext),
+    )
+    final = np.asarray(trans, np.float64)
+    dead_np = np.asarray(dead)
+    # a transform with no real roots propagates NaN on device where the
+    # host path raises (matrices.py transform_matrix) — surface the same
+    # error for the same condition
+    if np.isnan(final[~dead_np]).any():
+        raise WrongMatrixSpecified("no real roots for the scaling quadratic")
+    batch = batch_align(
+        [q] * M, [t] * M, final, del_, ext, mode="local",
+        alphabet=alphabet, backend=backend, with_alignments=True,
+        skip=dead_np,
+    )
+    out: list[AlignmentResult | None] = []
+    for m, res in enumerate(batch):
+        if res is None:
+            out.append(None)
+            continue
+        res.matrix = final[m].copy()
+        out.append(res)
+    return out  # type: ignore[return-value]
+
+
+def warmup_population(
+    query,
+    target,
+    n_matrices: int,
+    del_: float,
+    ext: float,
+    *,
+    alphabet: type[Alphabet] = Protein,
+    backend: str | None = None,
+) -> None:
+    """Precompile the population kernel set for these shapes WITHOUT
+    doing any work (the worker ``--warmup`` path): traces the fused
+    device loop with a zero-iteration budget (full while-loop body
+    compiled, zero iterations executed) plus the final with-alignments
+    launch with every problem skipped (zero-length — free)."""
+    from .align import _encode
+    from .backend import default_dtype, pick_backend
+
+    resolved = pick_backend(backend)
+    if resolved == "oracle":
+        resolved = "xla"
+    q = _encode(query, alphabet)
+    t = _encode(target, alphabet)
+    M, V = int(n_matrices), alphabet.volume()
+    if len(q) == 0 or len(t) == 0 or M == 0:
+        return
+    if _use_device_loop(resolved):
+        import jax.numpy as jnp
+
+        dtype = default_dtype()
+        pad8 = lambda n: -(-n // 8) * 8
+        q2 = np.zeros((M, pad8(len(q))), np.int32)
+        q2[:, : len(q)] = q
+        t2 = np.zeros((M, pad8(len(t))), np.int32)
+        t2[:, : len(t)] = t
+        _population_device_loop(
+            q2, np.full(M, len(q), np.int32), t2,
+            np.full(M, len(t), np.int32),
+            jnp.zeros((M, V, V), dtype),
+            jnp.full((V,), 1.0 / V, dtype),
+            jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype),
+            jnp.asarray(0, jnp.int32),
+            backend=resolved, del_=float(del_), ext=float(ext),
+        )
+    batch_align(
+        [q] * M, [t] * M, np.zeros((M, V, V)), del_, ext, mode="local",
+        alphabet=alphabet, backend=resolved, with_alignments=True,
+        skip=np.ones(M, bool),
+    )
+
+
 def heuristic_align_population(
     query,
     target,
@@ -142,6 +406,7 @@ def heuristic_align_population(
     alphabet: type[Alphabet] = Protein,
     backend: str | None = None,
     max_iters: int = 1000,
+    device_loop: bool | None = None,
 ) -> list[AlignmentResult]:
     """Run the heuristic loop for a whole matrix population at once.
 
@@ -187,6 +452,19 @@ def heuristic_align_population(
 
     q = _encode(query, alphabet)
     t = _encode(target, alphabet)
+
+    from .backend import pick_backend
+
+    resolved = pick_backend(backend)
+    if resolved == "oracle":
+        resolved = "xla"
+    if device_loop is None:
+        device_loop = _use_device_loop(resolved)
+    if device_loop and len(q) > 0 and len(t) > 0:
+        return _population_fused(
+            q, t, transformed, del_, ext, heuristics, r_squared,
+            alphabet=alphabet, backend=resolved, max_iters=max_iters,
+        )
 
     for _ in range(max_iters):
         if done.all():

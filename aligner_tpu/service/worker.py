@@ -100,7 +100,7 @@ class Worker:
         free compute, full compile).  Returns task groups warmed.  The
         first *leased* batch then starts hot instead of spending its
         lease inside the compiler."""
-        from ..align import batch_align
+        from ..heuristic import warmup_population
 
         by_task: dict[str, list[AlignJob]] = defaultdict(list)
         for payload in self.queue.peek(TOPIC_JOBS, GROUP, limit=self.batch):
@@ -111,14 +111,11 @@ class Worker:
             by_task[job.hash].append(job)
         for jobs in by_task.values():
             ref = jobs[0]
-            m = len(jobs)
-            mats = np.stack([np.asarray(j.matrix, np.float64) for j in jobs])
-            q = Protein.encode(ref.sequence_1, strict=False)
-            t = Protein.encode(ref.sequence_2, strict=False)
-            batch_align(
-                [q] * m, [t] * m, mats, ref.del_value, ref.del_value,
-                mode="local", backend=self.backend, with_alignments=True,
-                skip=np.ones(m, bool),
+            warmup_population(
+                Protein.encode(ref.sequence_1, strict=False),
+                Protein.encode(ref.sequence_2, strict=False),
+                len(jobs), ref.del_value, ref.del_value,
+                backend=self.backend,
             )
         if by_task:
             log.info("warmup: precompiled %d task group(s)", len(by_task))

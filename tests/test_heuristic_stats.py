@@ -158,3 +158,105 @@ def test_matrix_from_csv_rejects_empty_and_ragged():
         matrix_from_csv("", dim=(24, 24))
     with pytest.raises(ValidationError):
         matrix_from_csv("1 2 3\n4 5\n")
+
+
+def test_population_device_loop_first_iter_bitexact(rng):
+    """The fused device loop's measurement machinery — fill + device
+    walk + frequency scatter-add + transform_matrix_jax in one dispatch
+    (_population_device_loop) — is bit-equal to the host path on
+    integral matrices: same f, and the post-iteration matrix equals
+    transform_matrix_jax applied to the host-computed frequency matrix
+    in the same dtype."""
+    import jax.numpy as jnp
+
+    from aligner_tpu.align import batch_align
+    from aligner_tpu.heuristic import _population_device_loop
+    from aligner_tpu.matrices import transform_matrix_jax
+
+    q = rng.integers(0, 24, 33).astype(np.int8)
+    t = q.copy()
+    t[rng.integers(1, 33, 5)] = rng.integers(0, 24, 5)
+    M = 4
+    mats = np.stack(
+        [np.asarray(at.blosum62()) + rng.integers(-2, 3, (24, 24))
+         for _ in range(M)]
+    ).astype(np.float64)
+    freqs = rng.random(24)
+    freqs /= freqs.sum()
+    kd, r2 = 2.0, 1e4
+
+    pad8 = lambda n: -(-n // 8) * 8
+    q2 = np.zeros((M, pad8(len(q))), np.int32)
+    q2[:, : len(q)] = q
+    t2 = np.zeros((M, pad8(len(t))), np.int32)
+    t2[:, : len(t)] = t
+    for backend in ("xla", "pallas"):
+        it, done, dead, max_f, trans = _population_device_loop(
+            q2, np.full(M, len(q), np.int32), t2,
+            np.full(M, len(t), np.int32),
+            jnp.asarray(mats, jnp.float32), jnp.asarray(freqs, jnp.float32),
+            jnp.float32(kd), jnp.float32(r2), jnp.int32(1),
+            backend=backend, del_=7.0, ext=3.0,
+        )
+        ref = batch_align([q] * M, [t] * M, mats, 7.0, 3.0, mode="local",
+                          backend=backend, with_alignments=True)
+        max_f = np.asarray(max_f)
+        trans = np.asarray(trans)
+        for m in range(M):
+            assert max_f[m] == np.float32(ref[m].alignment.f)
+            fm = ref[m].alignment.frequency_matrix()
+            want = np.asarray(transform_matrix_jax(
+                jnp.asarray(fm, jnp.float32), jnp.float32(kd),
+                jnp.float32(r2), jnp.asarray(freqs, jnp.float32),
+            ))
+            # the transform itself is compared to ULP-level tolerance:
+            # XLA may schedule the reduction sums differently inside the
+            # fused while-loop body than in a standalone jit, so exact
+            # bit-equality holds for the fill/walk/count chain (max_f
+            # above) but not across jit contexts for f32 reductions
+            assert np.allclose(trans[m], want, rtol=1e-5, atol=1e-5), (backend, m)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_population_device_loop_matches_host(rng, backend):
+    """Full fused run vs the host loop: identical alignments and
+    convergence pattern; f and matrices agree to f32-transform rounding
+    (the documented distribution-equality regime — in-loop transforms
+    round in the device dtype)."""
+    q = rng.integers(0, 24, 48).astype(np.int8)
+    t = q.copy()
+    t[rng.integers(1, 48, 7)] = rng.integers(0, 24, 7)
+    mats = rng.integers(-1, 2, (5, 24, 24)).astype(np.float64)
+    freqs = rng.random(24)
+    freqs /= freqs.sum()
+    h = Heuristics(kd=0.0, r_squared=120.0, frequencies=freqs)
+    host = heuristic_align_population(q, t, mats, 5.0, 2.0, h,
+                                      backend=backend, device_loop=False)
+    fused = heuristic_align_population(q, t, mats, 5.0, 2.0, h,
+                                       backend=backend, device_loop=True)
+    assert len(host) == len(fused)
+    for a, b in zip(host, fused):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        assert np.array_equal(a.alignment.query, b.alignment.query)
+        assert np.array_equal(a.alignment.target, b.alignment.target)
+        assert a.alignment.coords == b.alignment.coords
+        assert abs(a.alignment.f - b.alignment.f) <= 1e-3 * max(1.0, abs(a.alignment.f))
+        assert np.allclose(a.matrix, b.matrix, rtol=1e-4, atol=1e-4)
+
+
+def test_population_device_loop_dead_members(rng):
+    """A member whose matrix admits no alignment returns None on both
+    paths (the reference would panic the whole process there)."""
+    q = np.zeros(10, np.int8)
+    t = np.full(10, 5, np.int8)
+    mats = np.zeros((2, 24, 24))
+    mats[:, 5, 0] = -3.0
+    freqs = rng.random(24)
+    freqs /= freqs.sum()
+    h = Heuristics(kd=0.0, r_squared=10.0, frequencies=freqs)
+    for flag in (False, True):
+        out = heuristic_align_population(q, t, mats, 5.0, 2.0, h,
+                                         backend="xla", device_loop=flag)
+        assert out == [None, None]

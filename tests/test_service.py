@@ -588,3 +588,24 @@ def test_worker_warmup_claims_nothing(svc):
     # and the warmed worker still processes everything
     assert w.process_batch() == before
     assert queue.pending(TOPIC_JOBS) == 0
+
+
+def test_worker_fused_population_end_to_end(svc, monkeypatch):
+    """The worker's whole pipeline with the fused device population loop
+    (ALIGNER_POP_DEVICE_LOOP=1): same task lifecycle — claims, stores
+    subtasks, promotes — with the loop running as one device dispatch."""
+    monkeypatch.setenv("ALIGNER_POP_DEVICE_LOOP", "1")
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    assert code == 200
+    w = Worker(store, queue, name="fused", batch=64, backend="xla")
+    w.warmup()  # compiles the fused loop + final launch for these shapes
+    assert w.process_batch() == 9
+    assert queue.pending(TOPIC_JOBS) == 0
+    for h in resp["hashes"]:
+        assert store.get_percentage_by_hash(h) == 100.0
+    updater_run(store)
+    for h in resp["hashes"]:
+        tid = store.get_task_id_by_hash(h)
+        row = store.get_result_matrix_by_task_id(tid)
+        assert row is not None
