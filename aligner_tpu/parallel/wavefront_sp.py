@@ -264,28 +264,27 @@ BAND_TD = 512  # SMEM stream chunk length of the band block engine
 
 def _pipeline(mesh, pp, with_trace: bool):
     """Build (cached) + run the jitted shard_map pipeline.  Returns
-    ``end`` or ``(end, lb_hist (n, R_pad), ckpts (n_ck, C_pad))``."""
+    ``end`` or ``(end, lb_hist (n, R_pad), ckpts (n_ck, C_pad))``.
+
+    On a multi-controller mesh the trace records are all-gathered inside
+    the pipeline (``replicate_trace``) so every process holds the full
+    O(R·n + R·C/tb) history — the gather the round-4 limitation was
+    missing; the replay/walk then runs process-locally."""
+    multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
     run = _build_pipeline(
         mesh, pp["axis"], pp["n"], pp["engine"], pp["interpret"],
         pp["V"], pp["Cb"], pp["S_loc"],
         pp["J"], pp["R_pad"], int(pp["DEL"]), int(pp["EXT"]),
         pp["stride"], pp["n_ck"], pp["tr"], with_trace,
-        pp["lut_bits"], pp["bias2"],
+        pp["lut_bits"], pp["bias2"], with_trace and multiproc,
     )
     lens = jnp.asarray([pp["C_real"], pp["R_real"]], jnp.int32)
-    multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
     if not multiproc:
         return run(jnp.asarray(pp["qp"]), jnp.asarray(pp["tp"]), pp["mi"],
                    lens)
     # multi-controller mesh (the halo ppermute hops cross process
     # boundaries over DCN): every process holds the same full host
     # operands, so each just materializes its own addressable shards
-    if with_trace:
-        raise NotImplementedError(
-            "sharded_global_align over a multi-process mesh is not "
-            "supported (the trace records are mesh-sharded; gather the "
-            "end score with sharded_global_end_score instead)"
-        )
     from jax.sharding import NamedSharding
 
     def place(a, spec):
@@ -305,7 +304,7 @@ def _pipeline(mesh, pp, with_trace: bool):
 @functools.lru_cache(maxsize=64)
 def _build_pipeline(mesh, axis, n, engine, interpret, V,
                     Cb, S_loc, J, R_pad, del_i, ext_i, stride, n_ck, tr,
-                    with_trace, lut_bits=0, bias2=0):
+                    with_trace, lut_bits=0, bias2=0, replicate_trace=False):
     """The jitted shard_map program, cached on its static parameters —
     rebuilding the jit wrapper per call would retrace the whole J-step
     pipeline every time (~0.4 s constant overhead per invocation
@@ -319,7 +318,13 @@ def _build_pipeline(mesh, axis, n, engine, interpret, V,
 
     in_specs = (P(axis), P(), P(), P())
     if with_trace:
-        out_specs = (P(), P(axis, None), P(None, axis))
+        # replicate_trace (multi-controller meshes): all_gather the
+        # records inside the pipeline so every process can replay/walk
+        # locally; otherwise leave them mesh-sharded (no extra traffic)
+        out_specs = (
+            (P(), P(), P()) if replicate_trace
+            else (P(), P(axis, None), P(None, axis))
+        )
     else:
         out_specs = P()
 
@@ -569,6 +574,12 @@ def _build_pipeline(mesh, axis, n, engine, interpret, V,
         del prev
         end = jax.lax.psum(jnp.where(end == NEG, 0, end), axis)
         if with_trace:
+            if replicate_trace:
+                return (
+                    end,
+                    lax.all_gather(lb_acc[:R_pad], axis),
+                    lax.all_gather(ck_acc[:n_ck], axis, axis=1, tiled=True),
+                )
             return end, lb_acc[None, :R_pad], ck_acc[:n_ck]
         return end
 
@@ -820,6 +831,15 @@ def sharded_global_align(
 
     end_dev, lb_hist_dev, ckpts_dev = _pipeline(mesh, pp, with_trace=True)
     end = float(np.asarray(end_dev))
+    multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
+    if multiproc:
+        # the pipeline all-gathered the trace records (replicate_trace),
+        # so each process reads the fully-replicated arrays and re-hosts
+        # them as process-LOCAL arrays — the replay/walk below is then an
+        # ordinary single-controller computation, run redundantly (and
+        # identically: same records, same walk) on every process
+        lb_hist_dev = jnp.asarray(np.asarray(lb_hist_dev))
+        ckpts_dev = jnp.asarray(np.asarray(ckpts_dev))
     # the trace records stay ON DEVICE for the default fused walk —
     # pulling them to host (and re-uploading) cost ~6 s of tunnel
     # transfer at 64k x 64k (33 MB of checkpoints both ways, round-4

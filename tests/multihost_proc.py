@@ -76,6 +76,23 @@ def main() -> int:
         engine="lax",
     ))
 
+    # cross-process FULL alignment: the forward pipeline all-gathers the
+    # trace records so every process replays/walks locally; the strings
+    # must be bit-equal on both processes (asserted by the test) and to
+    # the oracle
+    from aligner_tpu.parallel.wavefront_sp import sharded_global_align
+
+    aln_end, qa, ta, coords = sharded_global_align(
+        mesh1d, wq, wt, np.asarray(blosum62()), 11.0, 2.0, tr=16,
+        tb_rows=32, engine="lax",
+    )
+
+    # every process writes ITS OWN view of the alignment
+    with open(f"{outfile}.p{jax.process_index()}", "w") as fh:
+        json.dump({
+            "aln_end": aln_end, "qa": qa.tolist(), "ta": ta.tolist(),
+            "coords": coords,
+        }, fh)
     if jax.process_index() == 0:
         with open(outfile, "w") as fh:
             json.dump({

@@ -108,6 +108,22 @@ def test_two_process_jax_distributed(tmp_path):
     ref_wf = host.align_global(wq, wt, np.asarray(blosum62()), 11.0, 2.0)
     assert data["wf_end"] == ref_wf.score[len(wt), len(wq)]
 
+    # cross-process FULL alignment (round-5: the trace records are
+    # all-gathered in-pipeline): both processes must produce the same
+    # strings bit for bit, equal to the oracle's traceback
+    p0 = json.loads((tmp_path / "scores.json.p0").read_text())
+    p1 = json.loads((tmp_path / "scores.json.p1").read_text())
+    assert p0 == p1  # bit-equal across processes (strings, end, coords)
+    assert p0["aln_end"] == ref_wf.score[len(wt), len(wq)]
+    np.testing.assert_array_equal(
+        np.asarray(p0["qa"], np.int16),
+        np.asarray(ref_wf.query_aligned, np.int16),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p0["ta"], np.int16),
+        np.asarray(ref_wf.target_aligned, np.int16),
+    )
+
 
 REQ = {
     "sequences": ">q\nHEAGAWGHEEHEAGAWGHEE\n>t\nPAWHEAEPAWHEAEHEAGAW\n",
