@@ -107,12 +107,100 @@ def windows_of(length: int, opts: SearchOptions, step: int) -> list[tuple[int, i
     return out
 
 
+_SCAN_GATHER_JIT = None
+
+
+def _scan_chunk_gather_impl(seq_dev, starts, borders, pwm_dev,
+                            *, Wmax, backend, del_, ext):
+    """Jitted chunk scorer with ON-DEVICE window extraction: windows are
+    gathered from the device-resident sequence instead of materialized
+    host-side, so a chromosome scan uploads the sequence ONCE (O(len))
+    rather than O(len·W/offset) of window copies per cycle — at 10 Mb /
+    W=300 / offset=30 that is ~10 MB once vs ~440 MB per cycle through
+    the host link.  Scores are identical to the host-materialized path
+    (same fills, padding-invariant; pinned by test_repeat)."""
+    import jax.numpy as jnp
+
+    ql = (borders - starts).astype(jnp.int32)
+    idx = starts[:, None] + jnp.arange(Wmax, dtype=jnp.int32)[None, :]
+    q = jnp.where(
+        jnp.arange(Wmax, dtype=jnp.int32)[None, :] < ql[:, None],
+        seq_dev[jnp.clip(idx, 0, seq_dev.shape[0] - 1)],
+        0,
+    )
+    if backend == "pallas":
+        from ..ops.pallas_dp import fill_pwm_scores_traced
+
+        fmax, _, _, _ = fill_pwm_scores_traced(
+            q, ql, pwm_dev, del_, ext, dtype=pwm_dev.dtype,
+            track_argmax=False,
+        )
+        return fmax
+    from ..ops.scan_engine import fill_pwm_batch
+
+    return fill_pwm_batch(
+        q, ql, pwm_dev, del_, ext, with_planes=False, dtype=pwm_dev.dtype
+    ).fmax
+
+
+def _scan_chunk_gather(*args, **kw):
+    global _SCAN_GATHER_JIT
+    if _SCAN_GATHER_JIT is None:
+        import jax
+
+        _SCAN_GATHER_JIT = jax.jit(
+            _scan_chunk_gather_impl,
+            static_argnames=("Wmax", "backend", "del_", "ext"),
+        )
+    return _SCAN_GATHER_JIT(*args, **kw)
+
+
 def _scan_scores(
     seq: np.ndarray, wins: list[tuple[int, int]], matrix: np.ndarray,
     opts: SearchOptions,
 ) -> np.ndarray:
     """Scores-only PWM alignment of every window (chunked launches)."""
+    from ..align import _auto_shard_devices
+    from ..backend import default_dtype, pick_backend
+
     fs = np.empty(len(wins), dtype=np.float64)
+    backend_r = pick_backend(opts.backend)
+    # device-side window gather: single-device scans upload the sequence
+    # once and slice windows on device (see _scan_chunk_gather_impl);
+    # multi-device meshes keep the host path, whose batch_align_pwm
+    # auto-shards the window axis (ALIGNER_SCAN_DEVICE_GATHER=0 opts out)
+    use_gather = (
+        backend_r in ("xla", "pallas")
+        and _auto_shard_devices() == 1
+        and len(wins) > 1
+        and os.environ.get("ALIGNER_SCAN_DEVICE_GATHER", "1") != "0"
+    )
+    if use_gather:
+        import jax.numpy as jnp
+
+        from ..observability import measure
+
+        dtype = default_dtype()
+        Wmax = -(-(opts.repeat_length + opts.query_offset) // 8) * 8
+        seq_dev = jnp.asarray(seq, jnp.int32)
+        pwm_dev = jnp.asarray(matrix, dtype)
+        starts = np.fromiter((j for j, _ in wins), np.int32, len(wins))
+        borders = np.fromiter((b for _, b in wins), np.int32, len(wins))
+        cells = int((borders - starts).sum()) * int(matrix.shape[-1])
+        with measure(f"{backend_r}/pwm-devgather", cells, len(wins)):
+            for lo in range(0, len(wins), SCAN_CHUNK):
+                hi = min(lo + SCAN_CHUNK, len(wins))
+                s = np.zeros(SCAN_CHUNK, np.int32)
+                b = np.zeros(SCAN_CHUNK, np.int32)  # empty-pad the tail
+                s[: hi - lo] = starts[lo:hi]
+                b[: hi - lo] = borders[lo:hi]
+                fmax = _scan_chunk_gather(
+                    seq_dev, jnp.asarray(s), jnp.asarray(b), pwm_dev,
+                    Wmax=Wmax, backend=backend_r,
+                    del_=float(opts.deletions), ext=float(opts.extension),
+                )
+                fs[lo:hi] = np.asarray(fmax, np.float64)[: hi - lo]
+        return fs
     for lo in range(0, len(wins), SCAN_CHUNK):
         chunk = wins[lo : lo + SCAN_CHUNK]
         qs = [seq[j:border] for j, border in chunk]

@@ -410,3 +410,25 @@ def test_seeded_resume_reproduces_uninterrupted_run(tmp_path, rng):
         b = [(t.left_coord, t.right_coord, t.z) for t in resumed[key].tasks]
         assert a == b, key
         np.testing.assert_array_equal(full[key].matrix, resumed[key].matrix)
+
+
+def test_scan_device_gather_matches_host(rng, monkeypatch):
+    """The device-side window gather (_scan_chunk_gather: sequence
+    uploaded once, windows sliced on device) produces exactly the same
+    scores as the host-materialized batch_align_pwm path, including the
+    clipped windows at the sequence end, for both backends."""
+    from aligner_tpu.repeat import engine as E
+
+    seq = rng.integers(0, 4, 3000).astype(np.int8)
+    opts = E.SearchOptions(repeat_length=40, query_offset=10,
+                           deletions=5.0, extension=2.0, backend="xla")
+    wins = E.windows_of(len(seq), opts, opts.query_offset)
+    pwm = rng.integers(-1, 2, (4, 40)).astype(np.float64)
+    monkeypatch.setenv("ALIGNER_AUTO_SHARD", "0")  # gather is 1-device
+    monkeypatch.setenv("ALIGNER_SCAN_DEVICE_GATHER", "0")
+    host = E._scan_scores(seq, wins, pwm, opts)
+    monkeypatch.setenv("ALIGNER_SCAN_DEVICE_GATHER", "1")
+    for backend in ("xla", "pallas"):
+        opts.backend = backend
+        dev = E._scan_scores(seq, wins, pwm, opts)
+        assert np.array_equal(host, dev), backend
