@@ -75,7 +75,7 @@ def bench_queue(n_threads=4, n_jobs=2000, batch=64):
 
 
 def bench_e2e(n_workers=2, volume=64, port=3035, backend="xla",
-              warm_rounds=1):
+              warm_rounds=1, worker_warmup=False):
     import numpy as np
 
     from aligner_tpu.io import read_fasta_file
@@ -105,11 +105,40 @@ def bench_e2e(n_workers=2, volume=64, port=3035, backend="xla",
         subprocess.Popen(
             [sys.executable, "-m", "aligner_tpu.service.worker",
              "--name", f"bench-w{i}", "--batch", "16",
-             "--backend", backend, "--poll-interval", "0.1"],
+             "--backend", backend, "--poll-interval", "0.1"]
+            + (["--warmup"] if worker_warmup else []),
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         for i in range(n_workers)
     ]
+
+    # lease-margin monitor: min(lease_until - now) over claimed jobs.
+    # If it never goes negative, no claimed job lease-expired during the
+    # round — i.e. nothing bounced/redelivered even through a long cold
+    # compile (the heartbeat lease-extension contract, queue.heartbeat)
+    import sqlite3
+
+    margin = {"min": None, "stop": False}
+
+    def watch():
+        while not margin["stop"]:
+            try:
+                conn = sqlite3.connect(db, timeout=5.0)
+                row = conn.execute(
+                    "select min(lease_until) - ? from jobs "
+                    "where status = 'claimed'", (time.time(),)
+                ).fetchone()
+                conn.close()
+                if row and row[0] is not None:
+                    m = float(row[0])
+                    if margin["min"] is None or m < margin["min"]:
+                        margin["min"] = m
+            except Exception:
+                pass
+            time.sleep(0.5)
+
+    mon = threading.Thread(target=watch, daemon=True)
+    mon.start()
     def run_round(seqs, label):
         req = json.dumps({
             "sequences": seqs, "kdValue": 0.0, "rSquaredValue": 1e5,
@@ -146,9 +175,15 @@ def bench_e2e(n_workers=2, volume=64, port=3035, backend="xla",
             "submit_s": round(t_submit, 3),
             "time_to_promotion_s": round(total, 2),
             "jobs_per_s_claimed_to_committed": round(n_jobs / total, 2),
+            "worker_warmup": worker_warmup,
+            "min_lease_margin_s": (
+                None if margin["min"] is None else round(margin["min"], 1)
+            ),
             "note": "protein.fasta pair (~400aa) heuristic workers "
                     "(compute-bound by design; the queue row above "
-                    "isolates orchestration capacity)",
+                    "isolates orchestration capacity). min_lease_margin"
+                    " >= 0 means no claimed job lease-expired (no "
+                    "redelivery bounce) during this round",
         }))
 
     try:
@@ -159,6 +194,7 @@ def bench_e2e(n_workers=2, volume=64, port=3035, backend="xla",
             seq[r % len(seq)] = "A" if seq[r % len(seq)] != "A" else "G"
             run_round(f">a\n{s0}\n>b\n{''.join(seq)}\n", "warm")
     finally:
+        margin["stop"] = True
         for w in workers:
             w.terminate()
         for w in workers:
@@ -180,11 +216,14 @@ def main():
                          "real device (use --workers 1 on the single "
                          "tunneled chip)")
     ap.add_argument("--skip-queue", action="store_true")
+    ap.add_argument("--worker-warmup", action="store_true",
+                    help="pass --warmup to the spawned workers "
+                         "(precompile before the first lease)")
     args = ap.parse_args()
     if not args.skip_queue:
         bench_queue(n_jobs=args.queue_jobs)
     bench_e2e(n_workers=args.workers, volume=args.volume, port=args.port,
-              backend=args.backend)
+              backend=args.backend, worker_warmup=args.worker_warmup)
 
 
 if __name__ == "__main__":
