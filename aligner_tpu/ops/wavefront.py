@@ -382,6 +382,50 @@ def supported(qlen: int, matrix, del_, ext, tlen: int | None = None) -> bool:
     )
 
 
+def _scoped_vmem_kib() -> int:
+    """The libtpu scoped-VMEM limit in KiB (default 16 MiB unless raised
+    via ``LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=N``)."""
+    import re
+
+    m = re.search(r"--xla_tpu_scoped_vmem_limit_kib=(\d+)",
+                  os.environ.get("LIBTPU_INIT_ARGS", ""))
+    return int(m.group(1)) if m else 16 * 1024
+
+
+_warned_vmem_widths: set = set()
+
+
+def _check_scoped_vmem(C_pad: int) -> None:
+    """Pre-flight the row-scan kernel's scoped-VMEM footprint.
+
+    The kernel keeps whole (S, 128) rows resident: packed score words
+    (ceil(V/4)·4C bytes), the carried row + ext offsets (8C), the query
+    tile + initial row blocks (8C), and a checkpoint output block (4C),
+    plus ~5.5 MiB of fixed Mosaic overhead (measured: a C=256k forward
+    fill allocates 16.53 MiB against the 16 MiB default limit).  Above
+    ~128k columns the DEFAULT limit OOMs at compile time with an opaque
+    libtpu error — warn up front with the exact fix (the v5e has 128 MiB
+    of physical VMEM; raising the scoped limit to 64 MiB unlocks the
+    full MAX_WIDTH envelope, measured 4.12 s at 256k x 256k)."""
+    need_kib = (44 * C_pad) // 1024 + 5632
+    limit = _scoped_vmem_kib()
+    if need_kib > limit and C_pad not in _warned_vmem_widths:
+        _warned_vmem_widths.add(C_pad)
+        if on_tpu():
+            from ..observability import log
+
+            log.warning(
+                "wavefront row-scan at %d columns needs ~%d KiB of scoped"
+                " VMEM but the libtpu limit is %d KiB — the compile will"
+                " likely fail with 'Ran out of memory in memory space"
+                " vmem'. Set LIBTPU_INIT_ARGS="
+                "\"--xla_tpu_scoped_vmem_limit_kib=%d\" before process"
+                " start (see deploy/aligner.env).",
+                C_pad, need_kib, limit,
+                max(65536, 1 << (need_kib - 1).bit_length()),
+            )
+
+
 def _prep(q, t, matrix, del_, ext):
     """Shared host prep: pad/pack operands.  Returns a dict of pieces."""
     q = np.asarray(q, np.int32)
@@ -392,6 +436,7 @@ def _prep(q, t, matrix, del_, ext):
         raise ValueError("wavefront engine: integral matrix/penalties, "
                          f"qlen <= {MAX_WIDTH}, and int32-range scores "
                          "(see range_ok) required")
+    _check_scoped_vmem(_cdiv(len(q), LANES) * LANES or LANES)
     C_real, R_real = len(q), len(t)
     S = max(_cdiv(C_real, LANES), 1)
     C_pad = S * LANES

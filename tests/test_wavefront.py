@@ -264,3 +264,42 @@ def test_chunked_device_walk_matches_host_walk(rng, monkeypatch):
         np.testing.assert_array_equal(dev[1], hst[1])
         np.testing.assert_array_equal(dev[2], hst[2])
         assert dev[3] == hst[3]
+
+
+def test_scoped_vmem_preflight(monkeypatch, caplog):
+    """Wide row-scan fills exceed libtpu's default 16 MiB scoped-VMEM
+    limit at compile time (measured: 16.53 MiB at 256k columns); the
+    pre-flight parses LIBTPU_INIT_ARGS and warns with the exact flag."""
+    import logging
+
+    from aligner_tpu.ops import wavefront as wf
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    assert wf._scoped_vmem_kib() == 16 * 1024
+    monkeypatch.setenv(
+        "LIBTPU_INIT_ARGS",
+        "--foo=1 --xla_tpu_scoped_vmem_limit_kib=65536 --bar=2",
+    )
+    assert wf._scoped_vmem_kib() == 65536
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    monkeypatch.setattr(wf, "on_tpu", lambda: True)
+    monkeypatch.setattr(wf, "_warned_vmem_widths", set())
+    with caplog.at_level(logging.WARNING, logger="aligner_tpu"):
+        wf._check_scoped_vmem(64 * 1024)  # 64k columns: fits the default
+        assert not caplog.records
+        wf._check_scoped_vmem(256 * 1024)  # 256k: needs ~16.8 MiB
+        assert any("scoped_vmem_limit_kib" in r.getMessage()
+                   for r in caplog.records)
+        n = len(caplog.records)
+        wf._check_scoped_vmem(256 * 1024)  # warned once per width
+        assert len(caplog.records) == n
+    # raised limit: no warning
+    monkeypatch.setenv(
+        "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=65536"
+    )
+    monkeypatch.setattr(wf, "_warned_vmem_widths", set())
+    with caplog.at_level(logging.WARNING, logger="aligner_tpu"):
+        caplog.clear()
+        wf._check_scoped_vmem(256 * 1024)
+        assert not caplog.records
