@@ -18,7 +18,6 @@ iteration, with converged problems masked out).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 
 import numpy as np
@@ -326,8 +325,12 @@ def _population_fused(
     dead_np = np.asarray(dead)
     # a transform with no real roots propagates NaN on device where the
     # host path raises (matrices.py transform_matrix) — surface the same
-    # error for the same condition
-    if np.isnan(final[~dead_np]).any():
+    # error for the same condition.  The check covers EVERY member: the
+    # starting matrices were host-transformed (finite or already raised)
+    # and the loop only stores a transform for improving members, so NaN
+    # anywhere in the final state ⟺ an in-loop no-real-roots transform —
+    # including members the NaN fill subsequently marked dead/done.
+    if np.isnan(final).any():
         raise WrongMatrixSpecified("no real roots for the scaling quadratic")
     batch = batch_align(
         [q] * M, [t] * M, final, del_, ext, mode="local",

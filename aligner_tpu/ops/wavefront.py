@@ -426,8 +426,15 @@ def _check_scoped_vmem(C_pad: int) -> None:
             )
 
 
-def _prep(q, t, matrix, del_, ext):
-    """Shared host prep: pad/pack operands.  Returns a dict of pieces."""
+def _prep(q, t, matrix, del_, ext, *, check_vmem=True):
+    """Shared host prep: pad/pack operands.  Returns a dict of pieces.
+
+    ``check_vmem`` runs the row-scan scoped-VMEM pre-flight (whole
+    (S, 128) rows resident, footprint ~44·C_pad bytes) — callers whose
+    kernel does NOT hold full rows in VMEM (the band-diagonal engine
+    streams TD-column chunks of TB-row bands, footprint set by ``tb``
+    not by C) must pass False to avoid a false "compile will likely
+    fail" warning on wide pairs."""
     q = np.asarray(q, np.int32)
     t = np.asarray(t, np.int32)
     matrix = np.asarray(matrix)
@@ -436,7 +443,8 @@ def _prep(q, t, matrix, del_, ext):
         raise ValueError("wavefront engine: integral matrix/penalties, "
                          f"qlen <= {MAX_WIDTH}, and int32-range scores "
                          "(see range_ok) required")
-    _check_scoped_vmem(_cdiv(len(q), LANES) * LANES or LANES)
+    if check_vmem:
+        _check_scoped_vmem(_cdiv(len(q), LANES) * LANES or LANES)
     C_real, R_real = len(q), len(t)
     S = max(_cdiv(C_real, LANES), 1)
     C_pad = S * LANES
@@ -690,7 +698,9 @@ def end_score_single_global_diag(
     measured best at 64k x 64k across rounds — 124.7 GCUPS with the
     round-4 unrolled short-chain kernel vs 67.7 for the round-3 kernel
     this replaced (docs/PERF_NOTES.md)."""
-    pp = _prep(q, t, matrix, del_, ext)
+    # band VMEM scales with tb (<=16k default), not qlen — the row-scan
+    # pre-flight's 44*C model does not apply here
+    pp = _prep(q, t, matrix, del_, ext, check_vmem=False)
     C_real, R_real = pp["C_real"], pp["R_real"]
     if C_real == 0 or R_real == 0:
         raise ValueError("empty sequence")

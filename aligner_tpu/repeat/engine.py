@@ -547,8 +547,11 @@ def perform_calculation_per_sequence(
 
     result: dict[str, TaskResult] = {}
 
+    executed = start_cycle  # cycles whose scan actually ran (for the
+    # complete-state stamp below; an empty-break scan counts — it ran)
     for i in range(start_cycle, opts.repeats):
         new_tasks = calculate_cycle(seq, matrix, indices, mean, std, opts)
+        executed = i + 1
         if not new_tasks:
             break
         tasks = filter_tasks(new_tasks)
@@ -579,8 +582,12 @@ def perform_calculation_per_sequence(
         result["inverse"] = TaskResult(filter_tasks(inv), matrix)
 
     if checkpoint:
+        # the complete state's ``cycle`` records how many cycle scans
+        # actually EXECUTED (early break included) — resume never reads
+        # it (the results dict short-circuits), but honest throughput
+        # accounting does (bench_chromosome.py)
         _save_checkpoint(
-            checkpoint, head, opts.repeats, mean, std, matrix, tasks,
+            checkpoint, head, executed, mean, std, matrix, tasks,
             results=result, fp=fp,
         )
 

@@ -55,7 +55,9 @@ def make_chromosome(path: str, mb: float, seed: int = 7,
 
 
 def read_ck_cycle(ck_base: str) -> int | None:
-    """Highest cycle recorded in any per-record checkpoint file."""
+    """Highest cycle recorded in any per-record checkpoint file.
+
+    Returns 10**9 once a checkpoint carries the ``complete`` marker."""
     import glob
 
     best = None
@@ -65,11 +67,30 @@ def read_ck_cycle(ck_base: str) -> int | None:
                 st = json.load(fh)
         except (OSError, ValueError):
             continue
+        if isinstance(st, dict) and "complete" in st:
+            return 10**9  # finished
         if isinstance(st, dict) and "cycle" in st:
             c = int(st["cycle"])
             best = c if best is None else max(best, c)
-        if isinstance(st, dict) and "complete" in st:
-            return 10**9  # finished
+    return best
+
+
+def read_ck_executed(ck_base: str) -> int | None:
+    """Exact executed-cycle count from a COMPLETE checkpoint (the engine
+    stamps the complete state's ``cycle`` with how many cycle scans
+    actually ran, early break included)."""
+    import glob
+
+    best = None
+    for p in glob.glob(ck_base + "*"):
+        try:
+            with open(p) as fh:
+                st = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(st, dict) and "complete" in st and "cycle" in st:
+            c = int(st["cycle"])
+            best = c if best is None else max(best, c)
     return best
 
 
@@ -118,9 +139,18 @@ def main() -> int:
         time.sleep(1.0)
     t1 = time.time() - t0
     log1.close()
-    if killed_at is None and p.returncode not in (0, None):
-        print(json.dumps({"bench": "chromosome_scan_phase1",
-                          "error": f"phase 1 exited rc={p.returncode}"}))
+    if killed_at is None:
+        # the run ended (success or crash) before the kill fired — there
+        # is no kill+resume measurement to report; saying so loudly beats
+        # recording a "resume" of an already-complete checkpoint
+        print(json.dumps({
+            "bench": "chromosome_scan_phase1",
+            "error": f"phase 1 exited rc={p.returncode} before the "
+                     f"checkpoint reached --kill-cycle {args.kill_cycle} "
+                     "(scan converged early or the 1 s poll missed it) — "
+                     "no kill+resume was exercised; rerun with a smaller "
+                     "--kill-cycle",
+        }))
         return 1
     print(json.dumps({
         "bench": "chromosome_scan_phase1",
@@ -130,10 +160,20 @@ def main() -> int:
                 "on disk",
     }), flush=True)
 
-    # --- phase 2: identical command — must RESUME from the checkpoint
+    # --- phase 2: identical command — must RESUME from the checkpoint.
+    # Poll the checkpoint here too so cell accounting can use the cycles
+    # that actually EXECUTED (the cycle loop breaks early on an empty
+    # scan; assuming all --repeats cycles ran would overstate GCUPS).
     log2 = open(os.path.join(wd, "phase2.log"), "w")
     t0 = time.time()
-    rc = subprocess.run(cmd, stdout=log2, stderr=subprocess.STDOUT).returncode
+    p2 = subprocess.Popen(cmd, stdout=log2, stderr=subprocess.STDOUT)
+    max_cycle = killed_at  # phase 1 completed cycles 1..killed_at
+    while p2.poll() is None:
+        c = read_ck_cycle(ck)
+        if c is not None and c < 10**9:
+            max_cycle = max(max_cycle, c)
+        time.sleep(1.0)
+    rc = p2.returncode
     t2 = time.time() - t0
     log2.close()
     if rc != 0:
@@ -141,9 +181,6 @@ def main() -> int:
                           "error": f"resume exited rc={rc}"}))
         return 1
 
-    # cells: windows_of at the real opts x (1 initial scan + executed
-    # cycles); the killed cycle is re-run on resume (counted once here,
-    # so the effective rate is conservative)
     from aligner_tpu.repeat.engine import SearchOptions, windows_of
 
     opts = SearchOptions(repeats=args.repeats)
@@ -153,15 +190,21 @@ def main() -> int:
 
     with open(out) as fh:
         found = sum(1 for _ in _csv.reader(fh)) - 1
-    # executed scans: the initial-stats scan + up to `repeats` cycles
-    # (cycles can break early when a scan returns nothing)
-    n_scans = 1 + args.repeats
+    # executed scans = 1 initial-stats scan + executed cycles — exact
+    # from the complete checkpoint's stamp when available, else the
+    # poll-observed maximum (conservative: the killed cycle's discarded
+    # partial work is never counted either way)
+    exact = read_ck_executed(ck)
+    if exact is not None:
+        max_cycle = max(max_cycle, exact)
+    n_scans = 1 + max_cycle
     total_cells = cells_scan * n_scans
     wall = t1 + t2
     row = {
         "bench": "repeat_search_chromosome",
         "len_bp": n, "windows_per_cycle": len(wins),
-        "cycles": args.repeats, "resume_killed_at_cycle": killed_at,
+        "cycles_requested": args.repeats, "cycles_executed": max_cycle,
+        "resume_killed_at_cycle": killed_at,
         "wall_phase1_s": round(t1, 1), "wall_resume_s": round(t2, 1),
         "wall_total_s": round(wall, 1),
         "cells": total_cells,
@@ -169,8 +212,10 @@ def main() -> int:
         "found_sites": found,
         "note": "exploring mode, reference defaults (W=300 offset=30 "
                 "del=30 ext=7), SIGKILL at cycle "
-                f"{killed_at} + checkpoint resume; cells assume all "
-                "cycles ran (conservative if the scan converged early)",
+                f"{killed_at} + checkpoint resume; cells count the "
+                "initial scan + checkpoint-observed executed cycles only "
+                "(the killed cycle's discarded partial work is excluded, "
+                "so the rate is conservative)",
     }
     print(json.dumps(row), flush=True)
     return 0

@@ -260,3 +260,37 @@ def test_population_device_loop_dead_members(rng):
         out = heuristic_align_population(q, t, mats, 5.0, 2.0, h,
                                          backend="xla", device_loop=flag)
         assert out == [None, None]
+
+
+def test_population_fused_surfaces_nan_transform(rng, monkeypatch):
+    """An in-loop transform with no real roots propagates NaN on device;
+    the fused path must raise WrongMatrixSpecified like the host path —
+    INCLUDING when the NaN fill subsequently marked the member dead (a
+    NaN matrix admits no alignment, so fy/fx land on 0 and the member
+    looks 'dead', which used to exclude it from the NaN check).  The
+    condition is a borderline-rounding regime (disc sign is
+    matrix-independent up to fp error: (p·base) == 0 exactly), so the
+    final loop state is stubbed rather than constructed from inputs."""
+    import aligner_tpu.heuristic as H
+    from aligner_tpu.errors import WrongMatrixSpecified
+
+    q = rng.integers(0, 24, 16).astype(np.int8)
+    t = q.copy()
+    M, V = 3, 24
+
+    def fake_loop(q2, ql0, t2, tl0, transformed, *a, **kw):
+        trans = np.asarray(transformed, np.float64).copy()
+        trans[1] = np.nan  # member 1 accepted a no-real-roots transform
+        dead = np.zeros(M, bool)
+        dead[1] = True  # ...and the NaN fill then marked it dead
+        return (np.int32(2), np.ones(M, bool), dead,
+                np.zeros(M), trans)
+
+    monkeypatch.setattr(H, "_population_device_loop", fake_loop)
+    freqs = rng.random(V)
+    freqs /= freqs.sum()
+    h = Heuristics(kd=0.0, r_squared=120.0, frequencies=freqs)
+    mats = rng.integers(-1, 2, (M, V, V)).astype(np.float64)
+    with pytest.raises(WrongMatrixSpecified):
+        heuristic_align_population(q, t, mats, 5.0, 2.0, h,
+                                   backend="xla", device_loop=True)
