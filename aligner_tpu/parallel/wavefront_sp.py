@@ -139,6 +139,11 @@ def _prep_sharded(mesh, q, t, matrix, del_, ext, tr, axis, engine, interpret,
 
     axis = axis or mesh.axis_names[0]
     n = mesh.shape[axis]
+    if len(q) == 0 or len(t) == 0:
+        # guard BOTH sharded entries (align re-checks later): a
+        # zero-length operand reaches dynamic_slice/reshape with
+        # zero-size shapes and fails at trace time with an opaque error
+        raise ValueError("empty sequence")
     # validate BEFORE any per-element conversion: rejection of an
     # oversized pair must be O(1), not preceded by a giant int32 copy
     matrix = np.asarray(matrix)
@@ -618,7 +623,7 @@ def sharded_global_end_score(
 
 
 def _lax_tile_dirs(q_codes, mat, t_rows, h0, lb, x0, y_base,
-                   C_real, R_real, DEL, EXT, V):
+                   DEL, EXT, V):
     """Direction tile (TB, Cb) of one replayed block, plain lax — the
     replay engine matching the "lax" forward fill.  Bit-identical
     recurrence; dirs by the exact tie policy (top > left > diagonal).
@@ -685,7 +690,7 @@ _lax_tile_dirs_jit = jax.jit(
     ),
 )
 def _replay_walk_all_sharded(
-    qp_dev, pw_all, mat_i32, pmat, tp_dev, ckpts_dev, lb_hist_dev,
+    qp_dev, pw_all, mat_i32, tp_dev, ckpts_dev, lb_hist_dev,
     *, engine, S_loc, TB, V, C_real, R_real, del_, ext, interpret,
     NCK, n, Cb,
 ):
@@ -768,7 +773,7 @@ def _replay_walk_all_sharded(
             q_codes = lax.dynamic_slice(qp_dev, (x0,), (Cb,))
             dirs = _lax_tile_dirs(
                 q_codes, mat_i32, t_rows, h0, lb, x0, j * TB,
-                C_real, R_real, DEL, jnp.int32(ext), V,
+                DEL, jnp.int32(ext), V,
             )
 
             def get_d(r, c):
@@ -919,7 +924,6 @@ def sharded_global_align(
             jnp.asarray(pp["qp"][x0 : x0 + Cb]), pp["mat_i32"],
             jnp.asarray(t_rows), jnp.asarray(h0), jnp.asarray(lb),
             jnp.int32(x0), jnp.int32(j * TB),
-            C_real=C_real, R_real=R_real,
             DEL=jnp.int32(DEL_i), EXT=jnp.int32(EXT_i), V=V,
         )
         return np.asarray(dirs)
@@ -948,13 +952,13 @@ def sharded_global_align(
                 )
                 for dd in range(n)
             ])
-            qp_dev, mat_arg, pm = dummy, dummy, pmat
+            qp_dev, mat_arg = dummy, dummy
         else:
-            pw_all, pm = dummy, dummy
+            pw_all = dummy
             qp_dev = jnp.asarray(pp["qp"])
             mat_arg = pp["mat_i32"]
         packed, nn, cy_f, cx_f = _replay_walk_all_sharded(
-            qp_dev, pw_all, mat_arg, pm,
+            qp_dev, pw_all, mat_arg,
             jnp.asarray(tp), ckpts_dev, lb_hist_dev,
             engine=replay_engine, S_loc=pp["S_loc"], TB=TB, V=V,
             C_real=C_real, R_real=R_real, del_=DEL_i, ext=EXT_i,

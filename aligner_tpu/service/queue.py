@@ -42,10 +42,12 @@ _SCHEMA = [
 HEALTH_WINDOW = 15.0  # seconds of silence before a consumer drops out
 # default job lease.  A cold TPU worker's first compile can far exceed
 # this (724.9 s measured through the remote-compile tunnel), so liveness
-# is NOT the lease alone: every heartbeat also extends the heartbeating
-# consumer's unexpired leases (the max.poll.interval-style liveness the
-# reference gets from Kafka, node/main.rs:32-44) — a slow-but-alive
-# worker keeps its batch; only a silent one loses it.
+# is NOT the lease alone: while a batch is processing, the worker's
+# _LeaseKeeper heartbeats extend that batch's leases (the
+# max.poll.interval-style liveness the reference gets from Kafka,
+# node/main.rs:32-44) — a slow-but-alive worker keeps its batch; only a
+# silent one loses it.  Extension is scoped to the in-flight batch so
+# jobs left claimed on purpose (store failure → redeliver) still expire.
 DEFAULT_LEASE = 120.0
 # dead consumers stay visible in /health/check this long (ops can see a
 # recent crash), then their rows are reaped — workers register a fresh
@@ -99,13 +101,24 @@ class JobQueue:
         return name
 
     def heartbeat(
-        self, name: str, group: str, lease: float = DEFAULT_LEASE
+        self,
+        name: str,
+        group: str,
+        lease: float = DEFAULT_LEASE,
+        job_ids: list[int] | None = None,
     ) -> None:
-        """Refresh the consumer registry AND extend this consumer's job
-        leases to ``now + lease`` (see DEFAULT_LEASE).  Only jobs still
-        owned are touched: a job whose expired lease was already
-        reclaimed by another worker has a different ``consumer`` and is
-        left alone, so ownership can never be stolen back."""
+        """Refresh the consumer registry and, when ``job_ids`` is given,
+        extend THOSE jobs' leases to ``now + lease`` (see DEFAULT_LEASE).
+
+        Extension is scoped to the batch actually being processed (the
+        worker's _LeaseKeeper passes its claimed ids) rather than to
+        everything under the consumer's name: a job deliberately left
+        claimed so lease expiry redelivers it (double store failure), or
+        one orphaned by a restarted worker reusing a name, must not be
+        kept alive forever by unrelated polling.  Only jobs still owned
+        are touched: a job whose expired lease was already reclaimed by
+        another worker has a different ``consumer`` and is left alone,
+        so ownership can never be stolen back."""
         now = time.time()
         with self._conn() as c:
             c.execute(
@@ -113,11 +126,14 @@ class JobQueue:
                    on conflict(name) do update set last_seen = excluded.last_seen""",
                 (name, group, now),
             )
-            c.execute(
-                """update jobs set lease_until = max(lease_until, ?)
-                   where consumer = ? and status = 'claimed'""",
-                (now + lease, name),
-            )
+            if job_ids:
+                marks = ",".join("?" * len(job_ids))
+                c.execute(
+                    f"""update jobs set lease_until = max(lease_until, ?)
+                        where consumer = ? and status = 'claimed'
+                          and id in ({marks})""",
+                    (now + lease, name, *job_ids),
+                )
             c.execute(
                 "delete from consumers where last_seen < ?",
                 (now - CONSUMER_RETENTION,),

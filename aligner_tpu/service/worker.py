@@ -44,16 +44,20 @@ class _LeaseKeeper:
     measured through the remote-compile tunnel) — far past the job
     lease — so without this the first batch lease-expires mid-compile
     and gets redelivered to every other cold worker in turn.  Each
-    heartbeat refreshes the consumer registry AND extends this worker's
-    unexpired leases (queue.heartbeat), the liveness contract Kafka's
-    max.poll.interval gave the reference for free (node/main.rs:32-44).
+    heartbeat refreshes the consumer registry AND extends the leases of
+    THIS batch's jobs (queue.heartbeat with the claimed ids — scoped so
+    jobs deliberately left claimed for redelivery still expire), the
+    liveness contract Kafka's max.poll.interval gave the reference for
+    free (node/main.rs:32-44).
     """
 
     def __init__(self, queue, name: str, group: str,
+                 job_ids: list[int] | None = None,
                  interval: float = HEALTH_WINDOW / 3.0):
         self._queue = queue
         self._name = name
         self._group = group
+        self._job_ids = list(job_ids or [])
         self._interval = interval
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -61,7 +65,8 @@ class _LeaseKeeper:
     def _run(self):
         while not self._stop.wait(self._interval):
             try:
-                self._queue.heartbeat(self._name, self._group)
+                self._queue.heartbeat(self._name, self._group,
+                                      job_ids=self._job_ids)
             except Exception:
                 pass  # a flaky state endpoint must not kill processing
 
@@ -129,7 +134,8 @@ class Worker:
         )
         if not claimed:
             return 0
-        with _LeaseKeeper(self.queue, self.name, GROUP):
+        ids = [job_id for job_id, _ in claimed]
+        with _LeaseKeeper(self.queue, self.name, GROUP, job_ids=ids):
             return self._process_claimed(claimed)
 
     def _process_claimed(self, claimed: list[tuple[int, str]]) -> int:
@@ -147,33 +153,49 @@ class Worker:
             by_task[job.hash].append((job_id, job))
         self.queue.commit(poison)
 
+        from ..errors import AlignerError
+
         for hash_, items in by_task.items():
             jobs = [j for _, j in items]
             ref = jobs[0]
-            mats = np.stack([j.matrix for j in jobs])
-            heur = Heuristics(
-                kd=ref.kd_value, r_squared=ref.r_squared_value,
-                frequencies=ref.frequences,
-            )
             try:
+                # batch prep sits INSIDE the try: a decodable job with a
+                # missing/ragged matrix raises from np.stack and must be
+                # poison-handled, not crash-loop the whole fleet
+                mats = np.stack([j.matrix for j in jobs])
+                heur = Heuristics(
+                    kd=ref.kd_value, r_squared=ref.r_squared_value,
+                    frequencies=ref.frequences,
+                )
                 results = heuristic_align_population(
                     Protein.encode(ref.sequence_1, strict=False),
                     Protein.encode(ref.sequence_2, strict=False),
                     mats, ref.del_value, ref.del_value, heur,
                     backend=self.backend,
                 )
-            except Exception as e:
-                # deterministic per-task failures (e.g. a dim/frequency
-                # combination the heuristic math rejects) can never
-                # succeed on redelivery — commit the jobs away like
-                # poison instead of crash-looping the worker while the
-                # jobs bounce between lease expiries forever
+            except (AlignerError, ValueError, TypeError) as e:
+                # deterministic per-task failures (a dim/frequency
+                # combination the heuristic math rejects, a malformed
+                # matrix payload) can never succeed on redelivery —
+                # commit the jobs away like poison instead of bouncing
+                # them between lease expiries forever
                 log.warning(
                     "task %s: heuristic population failed (%s: %s); "
                     "dropping its %d jobs", hash_, type(e).__name__, e,
                     len(items),
                 )
                 self.queue.commit([job_id for job_id, _ in items])
+                continue
+            except Exception as e:
+                # anything else (device/tunnel/infra error) is presumed
+                # transient: leave the jobs claimed so lease expiry
+                # redelivers them (at-least-once), keep the worker alive
+                # for the remaining task groups
+                log.warning(
+                    "task %s: transient failure (%s: %s); leaving its "
+                    "%d jobs for lease-expiry redelivery", hash_,
+                    type(e).__name__, e, len(items),
+                )
                 continue
             done_ids = []
             for (job_id, _), res in zip(items, results):

@@ -410,6 +410,68 @@ def test_worker_drops_undoable_task_instead_of_crash_looping(svc):
     assert queue.pending(TOPIC_JOBS) == 0  # dropped, not redelivered
 
 
+def test_worker_drops_job_with_malformed_matrix(svc):
+    """A decodable job whose matrix is missing/ragged raises from the
+    batch prep (np.stack) — that is a deterministic failure and must be
+    poison-committed, not crash the worker (which would leave the batch
+    claimed and crash-loop every worker on redelivery)."""
+    disp, store, queue = svc
+    disp.validate(REQ)
+    with queue._conn() as c:
+        row = c.execute(
+            "select id, payload from jobs limit 1").fetchone()
+    payload = json.loads(row[1])
+    payload["matrix"] = None  # models.py allows Option<matrix>
+    with queue._conn() as c:
+        c.execute("update jobs set payload = ? where id = ?",
+                  (json.dumps(payload), row[0]))
+    w = Worker(store, queue, batch=64, backend="xla")
+    for _ in range(4):
+        w.process_batch()
+    assert queue.pending(TOPIC_JOBS) == 0  # nothing crash-looped
+
+
+def test_worker_leaves_jobs_for_redelivery_on_transient_failure(svc, monkeypatch):
+    """A transient (non-deterministic) failure — device/tunnel/infra —
+    must NOT commit the jobs away as done: they stay claimed, lease
+    expiry redelivers them, and a healthy retry completes the task
+    (at-least-once, node/main.rs:78-88's spirit)."""
+    import aligner_tpu.service.worker as worker_mod
+    from aligner_tpu.service.queue import JobQueue as JQ
+
+    disp, store, queue = svc
+    code, resp = disp.validate(REQ)
+    real = worker_mod.heuristic_align_population
+    boom = {"n": 0}
+
+    def flaky(*a, **kw):
+        boom["n"] += 1
+        if boom["n"] <= 3:  # first pass: every task group fails
+            raise RuntimeError("simulated tunnel reset")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(worker_mod, "heuristic_align_population", flaky)
+    orig_claim = JQ.claim_batch
+
+    def short_lease_claim(self, topic, consumer, group="aligner.jobs.group",
+                          limit=64, lease=120.0):
+        return orig_claim(self, topic, consumer, group, limit, lease=0.05)
+
+    monkeypatch.setattr(JQ, "claim_batch", short_lease_claim)
+    w = Worker(store, queue, batch=64, backend="xla")
+    w.process_batch()  # all groups hit the transient failure
+    # nothing was committed away: the jobs are still claimed (not done)
+    with queue._conn() as c:
+        done = c.execute(
+            "select count(1) from jobs where status = 'done'").fetchone()[0]
+    assert done == 0
+    time.sleep(0.1)  # past the short lease → redeliverable
+    while queue.pending(TOPIC_JOBS) > 0:
+        w.process_batch()
+    for h in resp["hashes"]:
+        assert store.get_percentage_by_hash(h) == 100.0
+
+
 def test_calc_backfill_survives_nonstrict_characters(svc):
     """Sequences the pipeline accepted with strict=False (e.g. 'U')
     must not crash the p-value backfill forever (review r3)."""
@@ -485,7 +547,8 @@ def test_heartbeat_extends_leases(tmp_path):
     q.produce(TOPIC_JOBS, "p1")
     a = q.claim_batch(TOPIC_JOBS, "c1", lease=0.05)
     assert len(a) == 1
-    q.heartbeat("c1", "aligner.jobs.group", lease=60.0)
+    q.heartbeat("c1", "aligner.jobs.group", lease=60.0,
+                job_ids=[a[0][0]])
     time.sleep(0.1)  # past the ORIGINAL lease
     assert q.claim_batch(TOPIC_JOBS, "c2") == []  # still owned by c1
     # but a consumer that stops heartbeating does lose the job
@@ -494,6 +557,22 @@ def test_heartbeat_extends_leases(tmp_path):
     assert len(b) == 1
     time.sleep(0.05)
     assert len(q.claim_batch(TOPIC_JOBS, "c4")) == 1  # redelivered
+
+
+def test_heartbeat_without_ids_does_not_extend(tmp_path):
+    """Lease extension is scoped to the ids the worker is actually
+    processing: a bare registry heartbeat (the worker's per-poll call,
+    or a restarted worker reusing a name) must NOT keep alive a job
+    that was deliberately left claimed for lease-expiry redelivery
+    (double store failure) — otherwise it is starved for as long as the
+    worker keeps polling."""
+    q = JobQueue(str(tmp_path / "q.db"))
+    q.produce(TOPIC_JOBS, "p1")
+    a = q.claim_batch(TOPIC_JOBS, "c1", lease=0.05)
+    assert len(a) == 1
+    q.heartbeat("c1", "aligner.jobs.group", lease=60.0)  # registry only
+    time.sleep(0.1)
+    assert len(q.claim_batch(TOPIC_JOBS, "c2")) == 1  # redelivered
 
 
 def test_heartbeat_cannot_steal_back_reclaimed_job(tmp_path):
@@ -507,7 +586,8 @@ def test_heartbeat_cannot_steal_back_reclaimed_job(tmp_path):
     time.sleep(0.05)
     b = q.claim_batch(TOPIC_JOBS, "c2", lease=30.0)  # reclaim after expiry
     assert len(b) == 1
-    q.heartbeat("c1", "aligner.jobs.group", lease=60.0)
+    q.heartbeat("c1", "aligner.jobs.group", lease=60.0,
+                job_ids=[b[0][0]])
     with q._conn() as c:
         owner, until = c.execute(
             "select consumer, lease_until from jobs where id = ?", (b[0][0],)
@@ -546,8 +626,8 @@ def test_slow_worker_keeps_batch_while_heartbeating(svc, monkeypatch):
 
     monkeypatch.setattr(JobQueue, "claim_batch", short_lease_claim)
     monkeypatch.setattr(worker_mod._LeaseKeeper, "__init__",
-                        lambda self, q, n, g, interval=0.05:
-                        _LeaseKeeper_init(self, q, n, g, interval))
+                        lambda self, q, n, g, job_ids=None, interval=0.05:
+                        _LeaseKeeper_init(self, q, n, g, job_ids, interval))
     w = Worker(store, queue, name="slowpoke", batch=64, backend="xla")
     handled = w.process_batch()
     assert slow_called.get("yes")
@@ -561,10 +641,11 @@ def test_slow_worker_keeps_batch_while_heartbeating(svc, monkeypatch):
     assert others == 0
 
 
-def _LeaseKeeper_init(self, q, n, g, interval):
+def _LeaseKeeper_init(self, q, n, g, job_ids, interval):
     import threading as _t
 
     self._queue, self._name, self._group = q, n, g
+    self._job_ids = list(job_ids or [])
     self._interval = interval
     self._stop = _t.Event()
     self._thread = _t.Thread(target=self._run, daemon=True)
