@@ -638,7 +638,11 @@ def global_end_score(
         and (on_tpu() or huge)
         and cells > SMALL_PROBLEM_CELLS_NATIVE
     ):
-        if not _wf.supported(len(q), matrix_np, del_, ext, tlen=len(t)):
+        # only the EXPLICIT diag route needs re-validation — the auto
+        # branch already required supported() above
+        if backend == "diag" and not _wf.supported(
+            len(q), matrix_np, del_, ext, tlen=len(t)
+        ):
             raise ValidationError(
                 "diag backend requires an integral matrix/penalties, "
                 "qlen within the width cap, and int32-range scores"
@@ -882,7 +886,15 @@ def batch_align(
     if skip is not None:
         ql = np.where(np.asarray(skip, bool), 0, ql).astype(np.int32)
         tl = np.where(np.asarray(skip, bool), 0, tl).astype(np.int32)
-    if pad_to is not None and len(qs) < pad_to:
+    if pad_to is not None:
+        if len(qs) > pad_to:
+            # silently ignoring an undersized bucket would ship the raw
+            # batch size and compile a fresh kernel per distinct size —
+            # the very thing pad_to exists to prevent (CLAUDE.md:
+            # constant compiled shapes)
+            raise ValidationError(
+                f"pad_to={pad_to} is smaller than the batch ({len(qs)})"
+            )
         extra = pad_to - len(qs)
         q = np.pad(q, ((0, extra), (0, 0)))
         t = np.pad(t, ((0, extra), (0, 0)))
@@ -903,6 +915,16 @@ def batch_align(
         with_alignments
         and os.environ.get("ALIGNER_DEVICE_WALK", "1") != "0"
     )
+    skip_mask = (
+        np.zeros(n_real, bool) if skip is None else np.asarray(skip, bool)[:n_real]
+    )
+    if with_alignments:
+        # empty sequences cannot seed a traceback (the q[-1] seed char);
+        # reject BEFORE the batched fill (the check only needs lengths —
+        # failing after would waste the whole launch and, on a fresh
+        # shape, a remote compile) like the single-pair APIs do
+        if (((ql[:n_real] == 0) | (tl[:n_real] == 0)) & ~skip_mask).any():
+            raise ResultIsEmpty("empty sequence")
     # global mode: the pallas kernel captures the end score H[tlen,qlen]
     # inside the argmax machinery, so honoring track_argmax=False there
     # would return end=0 on pallas but real scores on xla — force
@@ -921,14 +943,6 @@ def batch_align(
             fmax=np.asarray(res.fmax)[:n_real], fy=np.asarray(res.fy)[:n_real],
             fx=np.asarray(res.fx)[:n_real], end=np.asarray(res.end)[:n_real],
         )
-    skip_mask = (
-        np.zeros(n_real, bool) if skip is None else np.asarray(skip, bool)[:n_real]
-    )
-    # empty sequences cannot seed a traceback (the q[-1] seed char);
-    # reject up front like the single-pair APIs instead of an internal
-    # IndexError after the device fill
-    if (((ql[:n_real] == 0) | (tl[:n_real] == 0)) & ~skip_mask).any():
-        raise ResultIsEmpty("empty sequence")
     fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
     if mode == "local":
         fy_np = np.asarray(res.fy, np.int32)
@@ -937,9 +951,7 @@ def batch_align(
         # reference would panic on its 0-index seed, simple/mod.rs:213-218;
         # the single-pair API raises ResultIsEmpty): return None for JUST
         # that problem instead of failing the whole batch
-        skip_mask = skip_mask | (
-            ((fy_np[:n_real] == 0) | (fx_np[:n_real] == 0)) & ~skip_mask
-        )
+        skip_mask = skip_mask | (fy_np[:n_real] == 0) | (fx_np[:n_real] == 0)
     if use_dev:
         from .ops.device_walk import decode_pair_batch, walk_batch
 
@@ -964,7 +976,7 @@ def batch_align(
                 float(fmax_np[b]), alphabet,
             ))
         return out
-    dirs = np.asarray(res.dirs)[:n_real]
+    dirs = np.asarray(res.dirs[:n_real])  # slice device-side: padded planes never transfer
     from . import native
 
     if native.available() and not skip_mask.any():
@@ -1044,7 +1056,11 @@ def batch_align_pwm(
     q, ql = pad_batch(qs)
     if skip is not None:
         ql = np.where(np.asarray(skip, bool), 0, ql).astype(np.int32)
-    if pad_to is not None and n_real < pad_to:
+    if pad_to is not None:
+        if n_real > pad_to:
+            raise ValidationError(
+                f"pad_to={pad_to} is smaller than the batch ({n_real})"
+            )
         extra = pad_to - n_real
         q = np.pad(q, ((0, extra), (0, 0)))
         ql = np.pad(ql, (0, extra))
@@ -1101,7 +1117,9 @@ def batch_align_pwm(
                 )
             )
         return out
-    dirs = np.asarray(res.dirs)
+    # slice off pad_to padding BEFORE the device->host transfer — the
+    # padded problems' planes are never read (mirrors batch_align)
+    dirs = np.asarray(res.dirs[:n_real])
     fmax_np = np.asarray(res.fmax)  # one transfer, not B scalars
     fy_np = np.asarray(res.fy)
     fx_np = np.asarray(res.fx)

@@ -187,11 +187,16 @@ def _scan_scores(
         starts = np.fromiter((j for j, _ in wins), np.int32, len(wins))
         borders = np.fromiter((b for _, b in wins), np.int32, len(wins))
         cells = int((borders - starts).sum()) * int(matrix.shape[-1])
+        # pow2-bucketed chunk: a small scan (simple-init starting values,
+        # testing mode) must not pay a full 8192-lane fill — the fill's
+        # cost is O(B·R·C) regardless of zero-length padding.  Buckets
+        # keep the compiled-variant count log-bounded.
+        chunk_b = min(SCAN_CHUNK, 1 << max(len(wins) - 1, 1).bit_length())
         with measure(f"{backend_r}/pwm-devgather", cells, len(wins)):
-            for lo in range(0, len(wins), SCAN_CHUNK):
-                hi = min(lo + SCAN_CHUNK, len(wins))
-                s = np.zeros(SCAN_CHUNK, np.int32)
-                b = np.zeros(SCAN_CHUNK, np.int32)  # empty-pad the tail
+            for lo in range(0, len(wins), chunk_b):
+                hi = min(lo + chunk_b, len(wins))
+                s = np.zeros(chunk_b, np.int32)
+                b = np.zeros(chunk_b, np.int32)  # empty-pad the tail
                 s[: hi - lo] = starts[lo:hi]
                 b[: hi - lo] = borders[lo:hi]
                 fmax = _scan_chunk_gather(
@@ -402,8 +407,15 @@ def _input_fingerprint(raw_seq: bytes, opts: SearchOptions) -> str:
     different mask — or an edited known.csv — fingerprints differently)
     plus the options that shape the search state.  A checkpoint from a
     different input must not resume silently (review r3 #4)."""
-    if not isinstance(raw_seq, (bytes, bytearray, memoryview)):
-        raw_seq = str(raw_seq).encode("utf-8", "replace")
+    if isinstance(raw_seq, np.ndarray):
+        # str() of a long array is the TRUNCATED repr ('[2 0 3 ... ]'):
+        # two different inputs sharing edge elements would fingerprint
+        # identically — hash the full buffer instead
+        raw_seq = np.ascontiguousarray(raw_seq).tobytes()
+    elif isinstance(raw_seq, str):
+        raw_seq = raw_seq.encode("utf-8", "replace")
+    elif not isinstance(raw_seq, (bytes, bytearray, memoryview)):
+        raw_seq = np.asarray(raw_seq).tobytes()
     h = hashlib.sha1(raw_seq)
     h.update(
         repr((opts.repeat_length, opts.query_offset, opts.deletions,
@@ -633,26 +645,39 @@ def run_testing_cmd(
     return {"test": TaskResult(tasks, matrix)}
 
 
-def run_exploring_cmd(
+def _run_per_record(
     opts: SearchOptions, fasta_path, rng: np.random.Generator,
-    checkpoint: str | None = None,
+    checkpoint: str | None, prep_seq=None,
 ) -> dict[str, TaskResult]:
-    """Search every record of a FASTA file (cmd/exploring.rs)."""
+    """Shared per-record orchestration of exploring/csv modes: derive the
+    record's checkpoint path and independent RNG stream, run the search,
+    unpack direct/inverse results.  ``prep_seq(head, seq)`` transforms
+    the sequence first (csv mode's known-repeat masking) — keeping ONE
+    copy of the resume/rng logic so the two CLI modes cannot drift."""
     from ..io import read_fasta_file
 
     result: dict[str, TaskResult] = {}
     for rec in read_fasta_file(fasta_path):
+        seq = prep_seq(rec.head, rec.seq) if prep_seq else rec.seq
         per_ckpt = (
             _record_checkpoint_path(checkpoint, rec.head) if checkpoint else None
         )
         per_seq = perform_calculation_per_sequence(
-            opts, rec.seq, rec.head, _record_rng(rng), checkpoint=per_ckpt
+            opts, seq, rec.head, _record_rng(rng), checkpoint=per_ckpt
         )
         if "direct" in per_seq:
             result[rec.head] = per_seq["direct"]
         if "inverse" in per_seq:
             result[f"{rec.head}-reversed"] = per_seq["inverse"]
     return result
+
+
+def run_exploring_cmd(
+    opts: SearchOptions, fasta_path, rng: np.random.Generator,
+    checkpoint: str | None = None,
+) -> dict[str, TaskResult]:
+    """Search every record of a FASTA file (cmd/exploring.rs)."""
+    return _run_per_record(opts, fasta_path, rng, checkpoint)
 
 
 def _record_rng(rng: np.random.Generator) -> np.random.Generator:
@@ -672,25 +697,16 @@ def run_csv_cmd(
     """Exploring mode with known repeats masked out (cmd/csv.rs +
     sequences.rs:33-43).  ``checkpoint`` resumes per record exactly like
     exploring mode — csv runs the same chromosome-scale scans."""
-    from ..io import read_fasta_file, read_records
+    from ..io import read_records
     from ..io.fasta import mask_intervals
 
     data = read_records(csv_path)
-    result: dict[str, TaskResult] = {}
-    for rec in read_fasta_file(fasta_path):
-        seq = rec.seq
-        if rec.head in data:
-            seq = mask_intervals(
-                seq, [(r.left_coord, r.right_coord) for r in data[rec.head]]
+
+    def mask(head, seq):
+        if head in data:
+            return mask_intervals(
+                seq, [(r.left_coord, r.right_coord) for r in data[head]]
             )
-        per_ckpt = (
-            _record_checkpoint_path(checkpoint, rec.head) if checkpoint else None
-        )
-        per_seq = perform_calculation_per_sequence(
-            opts, seq, rec.head, _record_rng(rng), checkpoint=per_ckpt
-        )
-        if "direct" in per_seq:
-            result[rec.head] = per_seq["direct"]
-        if "inverse" in per_seq:
-            result[f"{rec.head}-reversed"] = per_seq["inverse"]
-    return result
+        return seq
+
+    return _run_per_record(opts, fasta_path, rng, checkpoint, prep_seq=mask)

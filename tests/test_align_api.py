@@ -378,3 +378,20 @@ def test_length_buckets_width_ratio_capped(rng):
     for b in buckets:
         ls = [max(lengths[i], 1) for i in b]
         assert max(ls) <= min(ls) * 1.3 * 2
+
+
+def test_pad_to_smaller_than_batch_raises(rng):
+    """pad_to exists to keep compiled shapes constant — an undersized
+    bucket must raise, not silently ship the raw batch size (which would
+    compile a fresh kernel per distinct oversize)."""
+    from aligner_tpu.align import batch_align, batch_align_pwm
+
+    qs = ["HEAGAWGHEE"] * 5
+    ts = ["PAWHEAE"] * 5
+    with pytest.raises(at.ValidationError):
+        batch_align(qs, ts, at.blosum62(), 11.0, 2.0, mode="local",
+                    backend="xla", pad_to=4)
+    pwm = rng.integers(-1, 2, (4, 16)).astype(float)
+    with pytest.raises(at.ValidationError):
+        batch_align_pwm(["ATCG", "GGTA", "ATAT"], pwm, 5.0, 2.0,
+                        alphabet=at.DNA, backend="xla", pad_to=2)

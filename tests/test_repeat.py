@@ -350,6 +350,13 @@ def test_checkpoint_rejects_different_input(tmp_path, rng):
                            deletions=6.0, extension=2.0, repeats=2)
     )
 
+    # array inputs hash the full buffer, not str()'s TRUNCATED repr:
+    # two long arrays differing only in the middle must differ
+    a1 = rng.integers(0, 4, 5000).astype(np.int8)
+    a2 = a1.copy()
+    a2[2500] = (a2[2500] + 1) % 4
+    assert _input_fingerprint(a1, opts) != _input_fingerprint(a2, opts)
+
     ckpt = str(tmp_path / "state.json")
     res_raw = perform_calculation_per_sequence(opts, raw, "chr", rng,
                                                checkpoint=ckpt)
