@@ -887,6 +887,12 @@ def fill_scores_traced(
     an int32 matrix with it.  ``matrix`` may be (V, V) shared or
     (B, V, V) per-problem.  Returns (fmax, fy, fx, end) of shape (B,).
     """
+    # the kernel captures the global end score H[tlen,qlen] inside the
+    # argmax machinery — honoring track_argmax=False in global mode
+    # would return end=0 here but real scores on the XLA engine, a
+    # silent cross-engine divergence (CLAUDE.md exactness invariant);
+    # force tracking in the wrapper so no caller can trip it
+    track_argmax = track_argmax or mode == "global"
     q = jnp.asarray(q, jnp.int32)
     t = jnp.asarray(t, jnp.int32)
     B, C = q.shape
@@ -973,7 +979,10 @@ def fill_full_traced(
         with_scores_plane=False,
     )
     fmax, fy, fx, end = (o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
-    words = _transpose_words_pm(outs[4], NB, BS, C, R)[:B]
+    # the module-level jitted transpose: eager would dispatch 3 separate
+    # ops per fill (and pay a fresh compile on the uncached axon
+    # backend); under an outer jit the call inlines into the trace
+    words = _transpose_words_pm_jit(outs[4], NB, BS, C, R)[:B]
     return fmax, fy, fx, end, words
 
 
@@ -1018,7 +1027,7 @@ def fill_pwm_full_traced(
         with_scores_plane=False,
     )
     fmax, fy, fx, end = (o.reshape(NB * BS * LANES)[:B] for o in outs[:4])
-    words = _transpose_words_pm(outs[4], NB, BS, W, R)[:B]
+    words = _transpose_words_pm_jit(outs[4], NB, BS, W, R)[:B]
     return fmax, fy, fx, end, words
 
 

@@ -118,7 +118,14 @@ def _fill_core(
     R = tT.shape[0]
     del_ = jnp.asarray(del_, dtype)
     ext = jnp.asarray(ext, dtype)
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    # int-dtype analog of "tiny positive" is 1 (m - top < 1 ⟺ m == top)
+    # — mirrors the pallas kernel so dtype support cannot differ by
+    # backend (finfo raises on integer dtypes)
+    eps = (
+        jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        if jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
+        else jnp.asarray(1, dtype)
+    )
     qlen = qlen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
 

@@ -704,10 +704,16 @@ def end_score_single_global_diag(
     C_real, R_real = pp["C_real"], pp["R_real"]
     if C_real == 0 or R_real == 0:
         raise ValueError("empty sequence")
+    if tb % LANES:
+        raise ValueError(f"tb must be a multiple of {LANES}, got {tb}")
     TB = min(tb, max(_cdiv(R_real, LANES) * LANES, LANES))
     S = TB // LANES
-    mi = np.round(np.asarray(matrix)).astype(np.int64)
-    if int(mi.max()) - int(mi.min()) <= 15:
+    # one source of truth for nibble-vs-byte eligibility (the batch
+    # engines' policy, pallas_dp.lut_params); only the packing layout
+    # (transposed words + the band's ext-folded bias) is band-specific
+    from .pallas_dp import lut_params
+
+    if lut_params(np.asarray(matrix))[1] == 4:
         pmat, bias = pack_matrix_nibbles(np.asarray(matrix).T)
         lut_bits, bias2 = 4, bias + 2 * int(ext)
     else:
@@ -1398,13 +1404,19 @@ def align_single_global_chunked(
     end = float(np.asarray(outs[0])[0, 0])
     ckpts_dev = outs[1]  # (n_ck, S, 128); ckpts[k] = H[(k+1)*TB]
 
+    _ckpts_host: list[np.ndarray] = []  # lazy one-shot download cache
+
     def _block_h0(j: int):
-        # host-walk fallback only: pulls the checkpoint rows down once
-        # (the default device walk reads ckpts_dev in place and never
-        # pays the (R/TB)*C transfer)
+        # host-walk fallback only: pulls the checkpoint rows down ONCE,
+        # on the first crossed block — np.asarray inside the per-block
+        # call would re-transfer the whole (R/TB, S, 128) array per
+        # block, O((R/TB)^2 * C) through the tunnel (the default device
+        # walk reads ckpts_dev in place and never pays any of this)
         if j == 0:
             return jnp.zeros((S, LANES), jnp.int32)
-        return jnp.asarray(np.asarray(ckpts_dev)[j - 1])
+        if not _ckpts_host:
+            _ckpts_host.append(np.asarray(ckpts_dev))
+        return jnp.asarray(_ckpts_host[0][j - 1])
 
     def replay_block(j: int) -> np.ndarray:
         """Interior dirs (TB, C_pad) of rows j*TB+1 .. (j+1)*TB."""
