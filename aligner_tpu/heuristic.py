@@ -195,7 +195,7 @@ def _population_device_loop_impl(q2, ql0, t2, tl0, transformed, freqs, kd,
         return r.fmax, r.fy, r.fx, r.dirs.reshape(M, -1), "dense", Cq + 1
 
     def body(state):
-        it, done, dead, max_f, trans = state
+        it, done, dead, max_f, trans, prod = state
         ql = jnp.where(done, 0, ql0)
         tl = jnp.where(done, 0, tl0)
         fmax, fy, fx, flat, fmt, w1 = fill(trans, ql, tl)
@@ -246,11 +246,15 @@ def _population_device_loop_impl(q2, ql0, t2, tl0, transformed, freqs, kd,
         )(freq)
         newly_dead = alive & ((fy == 0) | (fx == 0))
         improved = alive & ~newly_dead & (fmax > max_f)
+        # the matrix that PRODUCED each member's last accepted alignment
+        # (this iteration's fill matrix) — what a max_iters-exhausted
+        # member must report, matching heuristic_align's exhaustion rule
+        prod = jnp.where(improved[:, None, None], trans, prod)
         trans = jnp.where(improved[:, None, None], newt, trans)
         max_f = jnp.where(improved, fmax, max_f)
         done = done | (alive & ~improved)
         dead = dead | newly_dead
-        return it + 1, done, dead, max_f, trans
+        return it + 1, done, dead, max_f, trans, prod
 
     def cond(state):
         it, done, *_ = state
@@ -261,6 +265,7 @@ def _population_device_loop_impl(q2, ql0, t2, tl0, transformed, freqs, kd,
         jnp.zeros(M, bool),
         jnp.zeros(M, bool),
         jnp.zeros(M, dtype),
+        transformed,
         transformed,
     )
     return jax.lax.while_loop(cond, body, init)
@@ -279,6 +284,22 @@ def _use_device_loop(backend: str) -> bool:
     import jax
 
     return jax.default_backend() != "cpu"
+
+
+def _tile_pair(q, t, M):
+    """Tile one encoded (q, t) pair into the (M, len-padded-to-8) int32
+    batch operands of the fused population loop — the SAME padding
+    multiple as align.pad_batch, so the loop's compiled shapes match the
+    final batch_align launch (one place to change if that multiple ever
+    moves)."""
+    pad8 = lambda n: -(-n // 8) * 8
+    q2 = np.zeros((M, pad8(len(q))), np.int32)
+    q2[:, : len(q)] = q
+    t2 = np.zeros((M, pad8(len(t))), np.int32)
+    t2[:, : len(t)] = t
+    ql0 = np.full(M, len(q), np.int32)
+    tl0 = np.full(M, len(t), np.int32)
+    return q2, ql0, t2, tl0
 
 
 def _population_fused(
@@ -306,15 +327,9 @@ def _population_fused(
 
     M, V = transformed.shape[0], transformed.shape[-1]
     dtype = default_dtype()
-    pad8 = lambda n: -(-n // 8) * 8
-    q2 = np.zeros((M, pad8(len(q))), np.int32)
-    q2[:, : len(q)] = q
-    t2 = np.zeros((M, pad8(len(t))), np.int32)
-    t2[:, : len(t)] = t
-    ql0 = np.full(M, len(q), np.int32)
-    tl0 = np.full(M, len(t), np.int32)
+    q2, ql0, t2, tl0 = _tile_pair(q, t, M)
 
-    it, done, dead, max_f, trans = _population_device_loop(
+    it, done, dead, max_f, trans, prod = _population_device_loop(
         q2, ql0, t2, tl0, jnp.asarray(transformed, dtype),
         jnp.asarray(heuristics.frequencies, dtype),
         jnp.asarray(heuristics.kd, dtype), jnp.asarray(r_squared, dtype),
@@ -323,15 +338,27 @@ def _population_fused(
     )
     final = np.asarray(trans, np.float64)
     dead_np = np.asarray(dead)
+    done_np = np.asarray(done)
+    # a member that EXHAUSTED max_iters while still improving reports its
+    # last accepted alignment with the matrix that produced it (prod) —
+    # heuristic_align's exhaustion rule; converged members' stopping
+    # alignment was produced by the final trans (never updated again)
     # a transform with no real roots propagates NaN on device where the
     # host path raises (matrices.py transform_matrix) — surface the same
-    # error for the same condition.  The check covers EVERY member: the
-    # starting matrices were host-transformed (finite or already raised)
-    # and the loop only stores a transform for improving members, so NaN
-    # anywhere in the final state ⟺ an in-loop no-real-roots transform —
-    # including members the NaN fill subsequently marked dead/done.
+    # error for the same condition.  The check covers EVERY member and
+    # runs BEFORE the prod substitution below: the starting matrices were
+    # host-transformed (finite or already raised) and the loop only
+    # stores a transform for improving members, so NaN anywhere in the
+    # final state ⟺ an in-loop no-real-roots transform — including
+    # members the NaN fill marked dead/done, and a last-iteration
+    # transform an exhausted loop never evaluated (the sequential host
+    # loop raises there too: the transform precedes the bound check).
     if np.isnan(final).any():
         raise WrongMatrixSpecified("no real roots for the scaling quadratic")
+    if not done_np.all():
+        exhausted = ~done_np & ~dead_np
+        final = np.where(exhausted[:, None, None],
+                         np.asarray(prod, np.float64), final)
     batch = batch_align(
         [q] * M, [t] * M, final, del_, ext, mode="local",
         alphabet=alphabet, backend=backend, with_alignments=True,
@@ -366,6 +393,10 @@ def warmup_population(
     from .backend import default_dtype, pick_backend
 
     resolved = pick_backend(backend)
+    # consult the guard BEFORE the oracle->xla remap (mirror of
+    # heuristic_align_population's resolution so warmup precompiles the
+    # path the worker will actually run)
+    use_dev = _use_device_loop(resolved)
     if resolved == "oracle":
         resolved = "xla"
     q = _encode(query, alphabet)
@@ -373,18 +404,13 @@ def warmup_population(
     M, V = int(n_matrices), alphabet.volume()
     if len(q) == 0 or len(t) == 0 or M == 0:
         return
-    if _use_device_loop(resolved):
+    if use_dev:
         import jax.numpy as jnp
 
         dtype = default_dtype()
-        pad8 = lambda n: -(-n // 8) * 8
-        q2 = np.zeros((M, pad8(len(q))), np.int32)
-        q2[:, : len(q)] = q
-        t2 = np.zeros((M, pad8(len(t))), np.int32)
-        t2[:, : len(t)] = t
+        q2, ql0, t2, tl0 = _tile_pair(q, t, M)
         _population_device_loop(
-            q2, np.full(M, len(q), np.int32), t2,
-            np.full(M, len(t), np.int32),
+            q2, ql0, t2, tl0,
             jnp.zeros((M, V, V), dtype),
             jnp.full((V,), 1.0 / V, dtype),
             jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype),
@@ -410,6 +436,7 @@ def heuristic_align_population(
     backend: str | None = None,
     max_iters: int = 1000,
     device_loop: bool | None = None,
+    dtype=None,
 ) -> list[AlignmentResult]:
     """Run the heuristic loop for a whole matrix population at once.
 
@@ -419,9 +446,11 @@ def heuristic_align_population(
     runs the batched device fill (default dtype), while single-pair
     heuristic_align may route small problems to the f64 host engine —
     heuristic-transformed matrices are non-integral, so f32 ties can
-    resolve differently there (pass ``dtype=jnp.float64`` on CPU for
-    strict agreement).  Returns one AlignmentResult per input matrix
-    (with ``.matrix`` set).
+    resolve differently there.  Passing ``dtype=jnp.float64`` (CPU
+    backends) runs the fills in f64 for strict agreement; an explicit
+    dtype forces the host loop (strict mode implies host-f64 transforms
+    too).  Returns one AlignmentResult per input matrix (with
+    ``.matrix`` set).
 
     A member whose transformed matrix admits NO positive-scoring cell
     has no local alignment; its entry is ``None`` (the reference would
@@ -458,17 +487,30 @@ def heuristic_align_population(
 
     from .backend import pick_backend
 
+    if max_iters < 1:
+        raise ValidationError("max_iters must be >= 1")
     resolved = pick_backend(backend)
-    if resolved == "oracle":
-        resolved = "xla"
     if device_loop is None:
-        device_loop = _use_device_loop(resolved)
+        # consult the guard with the UN-remapped backend: an explicit
+        # backend="oracle" request means the strict-f64 host loop, even
+        # on an accelerator platform.  An explicit dtype likewise means
+        # strict mode — the fused loop's in-loop transforms run in the
+        # device dtype, not the requested one.
+        device_loop = dtype is None and _use_device_loop(resolved)
+    if resolved == "oracle":
+        resolved = "xla"  # the batch fills are device-only
     if device_loop and len(q) > 0 and len(t) > 0:
         return _population_fused(
             q, t, transformed, del_, ext, heuristics, r_squared,
             alphabet=alphabet, backend=resolved, max_iters=max_iters,
         )
 
+    # matrix that produced + the alignment of each member's last ACCEPTED
+    # iteration: a max_iters-exhausted member reports these, matching
+    # heuristic_align's exhaustion rule (no extra launch, no fresh
+    # never-evaluated transform)
+    last_res: list[AlignmentResult | None] = [None] * M
+    producing = transformed.copy()
     for _ in range(max_iters):
         if done.all():
             break
@@ -476,6 +518,7 @@ def heuristic_align_population(
             [q] * M, [t] * M, transformed,
             del_, ext, mode="local", alphabet=alphabet,
             backend=backend, with_alignments=True, skip=done,
+            dtype=dtype,
         )
         for m, res in enumerate(batch):
             if res is None:
@@ -488,6 +531,8 @@ def heuristic_align_population(
                 continue
             if res.alignment.f > max_f[m]:
                 max_f[m] = res.alignment.f
+                producing[m] = transformed[m].copy()
+                last_res[m] = res
                 transformed[m] = transform_matrix(
                     res.alignment.frequency_matrix(),
                     heuristics.kd, r_squared, heuristics.frequencies,
@@ -496,23 +541,11 @@ def heuristic_align_population(
                 res.matrix = transformed[m].copy()
                 results[m] = res
                 done[m] = True
-    pending = np.array(
-        [results[m] is None and not dead[m] for m in range(M)], bool
-    )
-    if pending.any():
-        # hit max_iters while still improving: attach current state via
-        # ONE more masked M-wide launch (constant compiled shape —
-        # per-member batch-1 launches would each compile a fresh kernel)
-        batch = batch_align(
-            [q] * M, [t] * M, transformed, del_, ext, mode="local",
-            alphabet=alphabet, backend=backend, with_alignments=True,
-            skip=~pending,
-        )
-        for m in np.flatnonzero(pending):
-            res = batch[m]
-            if res is None:
-                continue  # dead member (docstring): stays None
-            res.matrix = transformed[m].copy()
+    for m in range(M):
+        if results[m] is None and not dead[m] and last_res[m] is not None:
+            # hit max_iters while still improving
+            res = last_res[m]
+            res.matrix = producing[m]
             results[m] = res
     return results  # type: ignore[return-value]
 

@@ -44,15 +44,27 @@ def _build(so_path: str) -> bool:
         # -ffp-contract=off: GCC contracts a*b+c into FMA by default,
         # which rounds once instead of twice — the statistics fit (and
         # any future float kernel) must round exactly like NumPy's
-        # elementwise ops to keep the bit-exactness contract
+        # elementwise ops to keep the bit-exactness contract.
+        # Compile to a per-process temp name + atomic rename: N worker
+        # processes on a fresh checkout all reach here concurrently, and
+        # a half-written .so at the final path could be dlopen'd by a
+        # sibling (rename makes publish all-or-nothing; last one wins).
+        tmp = f"{so_path}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-ffp-contract=off",
-             "-shared", "-fPIC", "-o", so_path, _SRC],
+             "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so_path)
         return True
     except Exception:
         return False
+    finally:
+        try:
+            if os.path.exists(f"{so_path}.{os.getpid()}.tmp"):
+                os.unlink(f"{so_path}.{os.getpid()}.tmp")
+        except OSError:
+            pass
 
 
 def _candidates():
@@ -71,9 +83,17 @@ def _load() -> ctypes.CDLL | None:
         _TRIED = True
         if os.environ.get("ALIGNER_NO_NATIVE"):
             return None
+        have_src = os.path.exists(_SRC)
         for so in _candidates():
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(_SRC):
-                if not os.path.exists(_SRC) or not _build(so):
+            # a prebuilt .so with no source next to it (wheel install,
+            # moved tree) is used as-is — getmtime on the missing source
+            # must not crash every alignment call out of available()
+            stale = have_src and (
+                not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(_SRC)
+            )
+            if not os.path.exists(so) or stale:
+                if not have_src or not _build(so):
                     continue
             try:
                 lib = ctypes.CDLL(so)
@@ -82,7 +102,10 @@ def _load() -> ctypes.CDLL | None:
                 _bind(lib)
                 _LIB = lib
                 return lib
-            except OSError:
+            except (OSError, AttributeError):
+                # OSError: dlopen failure; AttributeError: a foreign or
+                # truncated .so without an_abi_version — try the next
+                # candidate instead of propagating out of available()
                 continue
         return None
 
@@ -141,11 +164,12 @@ def _check_codes(seq: np.ndarray, vol: int, what: str) -> None:
     a sequence would read far out of bounds (UB) instead of raising
     like the oracle's fancy indexing does.  Validate at this single
     chokepoint into the native engine."""
-    if len(seq) and int(seq.max()) >= vol:
+    if len(seq) and (int(seq.max()) >= vol or int(seq.min()) < 0):
+        bad = int(seq.max()) if int(seq.max()) >= vol else int(seq.min())
         raise ValidationError(
-            f"{what} contains code {int(seq.max())} outside the "
+            f"{what} contains code {bad} outside the "
             f"{vol}-symbol scoring alphabet (gap/special codes are not "
-            "alignable symbols)"
+            "alignable symbols; negative codes would index out of bounds)"
         )
 
 

@@ -150,22 +150,29 @@ def _native_h_ok() -> bool:
             return False
         rng = np.random.default_rng(12345)
         qlen = 400.0
-        tl = np.asarray(400 - rng.integers(0, 7, 160), np.float64)
-        scores = np.round(rng.gumbel(30.0, 8.0, 160), 0)
         ok = True
-        for k, lam, h0 in (
-            (2e-3, 0.25, 1.0),       # converges
-            (1.39e-5, 7.55e-3, 1.0),  # slow non-converging regime
-            (0.5, 4.5, 0.3),          # halving/doubling-heavy
-        ):
-            with np.errstate(all="ignore"):
-                log_kqt = np.log(k * qlen * tl)
-                kexp = k * np.exp(-lam * scores)
-            a = native.estimate_h(log_kqt, kexp, tl, qlen, h0, 600,
-                                  THRESHOLD_LOCAL)
-            b = _estimate_h_loop(log_kqt, kexp, tl, qlen, h0, 600)
-            if not (a == b or (np.isnan(a) and np.isnan(b))):
-                ok = False
+        # probe several array LENGTHS, not just a multiple of 8: the
+        # outlier filter shrinks the active set to arbitrary sizes, and
+        # the pairwise-sum transcription's remainder/tail handling is
+        # exactly the code a power-of-two-only probe cannot reach
+        for n in (160, 157, 5):
+            tl = np.asarray(400 - rng.integers(0, 7, n), np.float64)
+            scores = np.round(rng.gumbel(30.0, 8.0, n), 0)
+            for k, lam, h0 in (
+                (2e-3, 0.25, 1.0),       # converges
+                (1.39e-5, 7.55e-3, 1.0),  # slow non-converging regime
+                (0.5, 4.5, 0.3),          # halving/doubling-heavy
+            ):
+                with np.errstate(all="ignore"):
+                    log_kqt = np.log(k * qlen * tl)
+                    kexp = k * np.exp(-lam * scores)
+                a = native.estimate_h(log_kqt, kexp, tl, qlen, h0, 600,
+                                      THRESHOLD_LOCAL)
+                b = _estimate_h_loop(log_kqt, kexp, tl, qlen, h0, 600)
+                if not (a == b or (np.isnan(a) and np.isnan(b))):
+                    ok = False
+                    break
+            if not ok:
                 break
         _NATIVE_H = ok
     return _NATIVE_H
@@ -281,7 +288,19 @@ def calculate_distribution_params(
 
 def shuffle_and_randomize_sequence(seq: np.ndarray, rng: np.random.Generator):
     """Shuffled copy with a random 0..=6-char tail dropped
-    (statistics/mod.rs:309-320)."""
+    (statistics/mod.rs:309-320).
+
+    Sequences shorter than 7 are rejected: the reference's usize
+    ``len - lock`` panics whenever lock > len (and a lock == len draw
+    would score an empty shuffle), so over thousands of shuffles a <7
+    target crashes it with certainty — raising deterministically beats
+    Python's silent negative-slice wrap, which would quietly feed
+    wrong-length shuffles into the fit."""
+    if len(seq) < 7:
+        raise ValidationError(
+            "shuffle tail drop needs len(seq) >= 7 (a 0..=6-char tail "
+            "is removed, statistics/mod.rs:309-320)"
+        )
     lock = int(rng.integers(0, 7))
     out = np.array(seq[: len(seq) - lock])
     rng.shuffle(out)

@@ -191,7 +191,7 @@ def test_population_device_loop_first_iter_bitexact(rng):
     t2 = np.zeros((M, pad8(len(t))), np.int32)
     t2[:, : len(t)] = t
     for backend in ("xla", "pallas"):
-        it, done, dead, max_f, trans = _population_device_loop(
+        it, done, dead, max_f, trans, prod = _population_device_loop(
             q2, np.full(M, len(q), np.int32), t2,
             np.full(M, len(t), np.int32),
             jnp.asarray(mats, jnp.float32), jnp.asarray(freqs, jnp.float32),
@@ -284,7 +284,7 @@ def test_population_fused_surfaces_nan_transform(rng, monkeypatch):
         dead = np.zeros(M, bool)
         dead[1] = True  # ...and the NaN fill then marked it dead
         return (np.int32(2), np.ones(M, bool), dead,
-                np.zeros(M), trans)
+                np.zeros(M), trans, np.asarray(transformed, np.float64))
 
     monkeypatch.setattr(H, "_population_device_loop", fake_loop)
     freqs = rng.random(V)
@@ -294,3 +294,39 @@ def test_population_fused_surfaces_nan_transform(rng, monkeypatch):
     with pytest.raises(WrongMatrixSpecified):
         heuristic_align_population(q, t, mats, 5.0, 2.0, h,
                                    backend="xla", device_loop=True)
+
+
+@pytest.mark.parametrize("flag", [False, True])
+def test_population_max_iters_attaches_producing_matrix(rng, flag):
+    """heuristic_align's exhaustion rule, at population scale: a member
+    that hits max_iters while still improving returns its LAST ACCEPTED
+    alignment with the matrix that PRODUCED it — verified by re-aligning
+    with res.matrix and getting the identical alignment back (the old
+    behavior launched the never-evaluated fresh transform instead)."""
+    from aligner_tpu.align import batch_align
+    from aligner_tpu.heuristic import heuristic_align_population
+
+    q = rng.integers(0, 24, 40).astype(np.int8)
+    t = q.copy()
+    t[rng.integers(1, 40, 6)] = rng.integers(0, 24, 6)
+    mats = rng.integers(-1, 2, (3, 24, 24)).astype(np.float64)
+    freqs = rng.random(24)
+    freqs /= freqs.sum()
+    h = Heuristics(kd=0.0, r_squared=120.0, frequencies=freqs)
+    out = heuristic_align_population(q, t, mats, 5.0, 2.0, h,
+                                     backend="xla", device_loop=flag,
+                                     max_iters=2)
+    assert any(r is not None for r in out)
+    for m, res in enumerate(out):
+        if res is None:
+            continue
+        redo = batch_align([q], [t], res.matrix[None], 5.0, 2.0,
+                           mode="local", backend="xla",
+                           with_alignments=True)[0]
+        assert redo.alignment.f == res.alignment.f, m
+        assert np.array_equal(redo.alignment.query, res.alignment.query)
+        assert np.array_equal(redo.alignment.target, res.alignment.target)
+    with pytest.raises(at.ValidationError):
+        heuristic_align_population(q, t, mats, 5.0, 2.0, h,
+                                   backend="xla", device_loop=flag,
+                                   max_iters=0)
