@@ -164,6 +164,9 @@ def window_scan_step(
             fmax = r.fmax
         active = (wls > 0).astype(dtype)
         n = jax.lax.psum(jnp.sum(active), data_ax)
+        # an all-padded launch (the skip-mask pattern) must yield 0/0/0
+        # stats, not NaN z-scores that silently select nothing
+        n = jnp.maximum(n, jnp.asarray(1.0, dtype))
         s1 = jax.lax.psum(jnp.sum(fmax * active), data_ax)
         s2 = jax.lax.psum(jnp.sum(fmax * fmax * active), data_ax)
         mean = s1 / n
@@ -203,8 +206,15 @@ def matrix_population_step(
     """
     data_ax, mat_ax = mesh.axis_names
     matrices = jnp.asarray(matrices, dtype)
-    n_mat_shard = mesh.shape[mat_ax]
     M = matrices.shape[0]
+    if M % mesh.shape[mat_ax]:
+        # fail clearly up front instead of with a cryptic shard_map
+        # partition error later
+        raise ValidationError(
+            f"{M} candidate matrices do not shard evenly over the "
+            f"{mesh.shape[mat_ax]}-device {mat_ax!r} axis — pad the "
+            "population to a multiple (zero matrices are free)"
+        )
 
     @functools.partial(
         shard_map,

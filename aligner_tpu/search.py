@@ -87,6 +87,12 @@ def search_database(
     if not db:
         raise ValidationError("empty database")
     names = list(names) if names is not None else [str(i) for i in range(len(db))]
+    if len(names) != len(db):
+        # fail BEFORE the launches, not at name lookup after all the
+        # alignment work is done
+        raise ValidationError(
+            f"names has {len(names)} entries for {len(db)} db sequences"
+        )
     lengths = [len(s) for s in db]
 
     scores = np.full(len(db), -np.inf)
@@ -97,6 +103,11 @@ def search_database(
             mode=mode, alphabet=alphabet, backend=backend,
         )
         scores[bucket] = res.fmax if mode == "local" else res.end
+    # a zero-length record has NO alignment (the single-pair API raises
+    # ResultIsEmpty) — the batch fill reports its masked-out score as 0,
+    # which in global mode would outrank real sequences' negative gap
+    # scores; keep such records out of the ranking entirely
+    scores[np.asarray(lengths) == 0] = -np.inf
 
     top = np.argsort(-scores, kind="stable")[:k]
     hits = [

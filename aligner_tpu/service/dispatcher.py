@@ -23,9 +23,12 @@ Fixed reference bugs (documented divergences):
 from __future__ import annotations
 
 import json
+import logging
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+log = logging.getLogger("aligner_tpu.dispatcher")
 
 import numpy as np
 
@@ -103,6 +106,14 @@ class Dispatcher:
         if len(records) < 2:
             return 400, {"message": MSG_TOO_FEW}
 
+        # ONE population for the whole request: the (dim, volume) args
+        # are identical for every pair, and with a remote store each
+        # get_population is a full RPC shipping every candidate matrix —
+        # per-pair re-fetching did 189 redundant transfers on a
+        # 20-record FASTA
+        matrices = get_population(
+            self.store, req.dim_value, req.matrices_volume_value, self.rng
+        )
         hashes = []
         for query, target in generate_pairs(records):
             qseq, tseq = query.seq.decode(), target.seq.decode()
@@ -119,17 +130,19 @@ class Dispatcher:
             except ValidationError:
                 continue  # duplicate hash — skip (handlers.rs:118-121)
             hashes.append(h)
-            self.spawn_jobs(qseq, tseq, req, h)
+            self.spawn_jobs(qseq, tseq, req, h, matrices)
 
         if not hashes:
             return 500, {"message": MSG_NO_NEW}
         return 200, {"hashes": hashes}
 
-    def spawn_jobs(self, seq1: str, seq2: str, req: AlignJobRequest, hash_: str):
+    def spawn_jobs(self, seq1: str, seq2: str, req: AlignJobRequest,
+                   hash_: str, matrices=None):
         """One queued job per candidate matrix (handlers.rs:193-251)."""
-        matrices = get_population(
-            self.store, req.dim_value, req.matrices_volume_value, self.rng
-        )
+        if matrices is None:
+            matrices = get_population(
+                self.store, req.dim_value, req.matrices_volume_value, self.rng
+            )
         freqs = symbol_frequencies(seq1, seq2, req.dim_value)
         for matrix in matrices:
             job = AlignJob(
@@ -212,7 +225,16 @@ def make_handler(dispatcher: Dispatcher, sse_ticks: int | None = None):
                 except json.JSONDecodeError:
                     self._json(400, {"message": MSG_BAD_FASTA})
                     return
-                code, obj = dispatcher.validate(body)
+                try:
+                    code, obj = dispatcher.validate(body)
+                except Exception as e:  # noqa: BLE001 — a failed request
+                    # must still get a JSON reply, not a dropped
+                    # connection (and the log, not the client, gets the
+                    # traceback)
+                    log.exception("validate failed")
+                    code, obj = 500, {
+                        "message": f"internal error: {type(e).__name__}"
+                    }
                 self._json(code, obj)
             else:
                 self._json(404, {"message": "not found"})

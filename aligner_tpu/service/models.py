@@ -22,7 +22,9 @@ def matrix_to_serde_dict(m: np.ndarray) -> dict:
     matrix codec, shared by the service payloads/DB columns, the
     repeat-search matrices.json, and the engine checkpoints."""
     m = np.asarray(m, dtype=np.float64)
-    return {"v": 1, "dim": list(m.shape), "data": [float(v) for v in m.ravel()]}
+    # tolist() yields the identical Python floats at C speed — matrices
+    # here can be checkpoint-sized, a per-element Python loop is not
+    return {"v": 1, "dim": list(m.shape), "data": m.ravel().tolist()}
 
 
 def matrix_to_json(m: np.ndarray) -> str:
@@ -34,9 +36,13 @@ def matrix_from_json(s: str | dict) -> np.ndarray:
     return np.asarray(d["data"], dtype=np.float64).reshape(d["dim"])
 
 
-def array1_to_json(a: np.ndarray) -> str:
+def array1_to_serde_dict(a: np.ndarray) -> dict:
     a = np.asarray(a, dtype=np.float64)
-    return json.dumps({"v": 1, "dim": [len(a)], "data": [float(v) for v in a]})
+    return {"v": 1, "dim": [len(a)], "data": a.tolist()}
+
+
+def array1_to_json(a: np.ndarray) -> str:
+    return json.dumps(array1_to_serde_dict(a))
 
 
 def task_hash(
@@ -83,7 +89,7 @@ class AlignJobRequest:
     @classmethod
     def from_json(cls, data: dict) -> "AlignJobRequest":
         try:
-            return cls(
+            req = cls(
                 sequences=data["sequences"],
                 kd_value=float(data["kdValue"]),
                 r_squared_value=float(data["rSquaredValue"]),
@@ -93,6 +99,17 @@ class AlignJobRequest:
             )
         except (KeyError, TypeError, ValueError) as e:
             raise ValidationError(f"bad AlignJobRequest: {e}") from e
+        # non-positive dims/volumes must 400 here, not leak into the
+        # pipeline: dim <= 0 crashes matrix generation mid-request (after
+        # tasks were inserted), and volume <= 0 creates tasks that spawn
+        # ZERO jobs — reported 200 but stuck at 0% forever
+        if req.dim_value <= 0:
+            raise ValidationError(f"dimValue must be >= 1, got {req.dim_value}")
+        if req.matrices_volume_value <= 0:
+            raise ValidationError(
+                f"matricesVolumeValue must be >= 1, got {req.matrices_volume_value}"
+            )
+        return req
 
     def to_json(self) -> dict:
         return {
@@ -125,8 +142,9 @@ class AlignJob:
             {
                 "sequence_1": self.sequence_1,
                 "sequence_2": self.sequence_2,
-                "matrix": None if self.matrix is None else json.loads(matrix_to_json(self.matrix)),
-                "frequences": json.loads(array1_to_json(self.frequences)),
+                "matrix": None if self.matrix is None
+                else matrix_to_serde_dict(self.matrix),
+                "frequences": array1_to_serde_dict(self.frequences),
                 "kd_value": self.kd_value,
                 "r_squared_value": self.r_squared_value,
                 "del_value": self.del_value,

@@ -67,3 +67,30 @@ def test_counters_record(rng, monkeypatch):
     assert s.problems == 4
     assert s.cells == 4 * 16 * 16
     assert "GCUPS" in counters.report()
+
+
+def test_search_global_empty_records_never_rank(rng):
+    """A zero-length db record has NO alignment; its masked batch score
+    (0) must not outrank real sequences' negative global gap scores."""
+    M = at.blosum62()
+    query = rng.integers(0, 24, 12).astype(np.int8)
+    db = [rng.integers(0, 24, 12).astype(np.int8),
+          np.zeros(0, np.int8),
+          rng.integers(0, 24, 10).astype(np.int8)]
+    hits = search_database(query, db, M, 11.0, 2.0, k=3, mode="global",
+                           backend="xla")
+    assert [h.index for h in hits if h.score != -np.inf] != []
+    assert all(h.index != 1 or h.score == -np.inf for h in hits)
+    # the empty record sorts last
+    assert hits[-1].index == 1 and hits[-1].score == -np.inf
+
+
+def test_search_names_length_mismatch_raises(rng):
+    import pytest
+
+    M = at.blosum62()
+    query = rng.integers(0, 24, 12).astype(np.int8)
+    db = [rng.integers(0, 24, 12).astype(np.int8) for _ in range(4)]
+    with pytest.raises(at.ValidationError):
+        search_database(query, db, M, 11.0, 2.0, k=2, names=["a", "b"],
+                        backend="xla")

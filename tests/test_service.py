@@ -65,6 +65,14 @@ def test_validate_errors(svc):
     assert code == 400
     code, resp = disp.validate({"bogus": 1})
     assert code == 400
+    # non-positive dims/volumes 400 up front: dim<=0 used to crash
+    # matrix generation mid-request (dropped HTTP response + orphan
+    # CREATED task) and volume<=0 returned 200 for a task that spawns
+    # zero jobs and can never reach 100%
+    for bad in ({**REQ, "dimValue": -3}, {**REQ, "dimValue": 0},
+                {**REQ, "matricesVolumeValue": 0}):
+        code, resp = disp.validate(bad)
+        assert code == 400, bad
 
 
 def test_worker_processes_and_promotes(svc):
