@@ -93,6 +93,17 @@ def main(argv: list[str] | None = None) -> int:
             "silently index the first 4 rows of a protein matrix"
         )
     m = load_matrix(args.matrix)
+    alpha = DNA if args.dna else Protein
+    # same trap via a FILE as the builtin-name guard above: a
+    # wrong-sized matrix must not silently score the wrong submatrix
+    # (DNA codes against a protein matrix's first 4 rows) or crash deep
+    # in an engine (protein codes off the end of a 4x4)
+    if m.shape[0] < alpha.volume() or (args.dna and m.shape[0] != 4):
+        raise ValidationError(
+            f"matrix is {m.shape[0]}x{m.shape[1]} but "
+            f"{'DNA needs exactly 4' if args.dna else f'the protein alphabet needs >= {alpha.volume()}'}"
+            " rows"
+        )
     fn = align_global if args.global_ else align_local
     result = fn(
         seqs[0].seq.decode(), seqs[1].seq.decode(), m,

@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.output
         else os.path.join(os.getcwd(), "matrices.json")
     )
+    # pre-flight the output paths BEFORE a potentially hours-long scan:
+    # an unwritable --output must fail here, not after the compute
+    for p in (output_path, matrices_path):
+        try:
+            with open(p, "a"):
+                pass
+        except OSError as e:
+            ap.error(f"cannot write {p}: {e}")
 
     if args.input is None:
         if args.csv is not None:

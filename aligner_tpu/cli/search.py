@@ -47,9 +47,9 @@ def main(argv: list[str] | None = None) -> int:
 
     alphabet = DNA if args.dna else Protein
     query = read_fasta_file(args.query)[0]
+    # read_fasta raises on zero records, and search_database re-checks
+    # emptiness — no guard needed here
     db = read_fasta_file(args.database)
-    if not db:
-        raise ValidationError("empty database")
 
     hits = search_database(
         query.seq.decode(),

@@ -77,7 +77,7 @@ class OracleResult:
     score: np.ndarray  # (rows+1, cols+1) float64
     directions: np.ndarray  # (rows+1, cols+1) uint8
     query_aligned: np.ndarray  # int16 codes incl. BLANK
-    target_aligned: np.ndarray  # int16 codes incl. BLANK (PWM: numbered, 0=gap)
+    target_aligned: np.ndarray  # int16 codes incl. BLANK (PWM: int32 numbered, 0=gap)
     coords: tuple[tuple[int, int], tuple[int, int]]
     f: float
 
@@ -300,7 +300,9 @@ def align_pwm(
         score=a,
         directions=d,
         query_aligned=np.array(qa, dtype=np.int16),
-        target_aligned=np.array(ta, dtype=np.int16),
+        # int32: PWM "numbered" positions run 1..=W and W can exceed
+        # int16 (the device/native paths use int32 too, traceback.py)
+        target_aligned=np.array(ta, dtype=np.int32),
         coords=((cx + 1, mx + 1), (cy + 1, my + 1)),
         f=float(a.max()),
     )

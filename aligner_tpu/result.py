@@ -87,6 +87,11 @@ class PWMAlignment:
 
     @classmethod
     def empty(cls, alphabet: type[Alphabet]) -> "PWMAlignment":
+        """The reference's sentinel empty value (alignment.rs:83-91),
+        coords ((0,0),(0,0)) exactly as it constructs them.  NOTE this
+        is a sentinel, not what aligning an empty query RETURNS — the
+        real empty-query walk yields coords ((1,1),(1,1)) (align_pwm
+        docstring) — so do not compare results against it."""
         return cls(
             numbered=np.zeros(0, dtype=np.int32),
             query=np.zeros(0, dtype=np.int16),
