@@ -32,7 +32,8 @@ def align_local(q, t, matrix, del_: float, ext: float) -> OracleResult:
     return OracleResult(
         score=plane, directions=dirs,
         query_aligned=qa, target_aligned=ta, coords=coords,
-        f=float(plane.max()),
+        # (my, mx) IS the argmax of the plane — no second O(R*C) scan
+        f=float(plane[my, mx]),
     )
 
 
@@ -62,5 +63,6 @@ def align_pwm(q, pwm, del_: float, ext: float) -> OracleResult:
     return OracleResult(
         score=plane, directions=dirs,
         query_aligned=qa, target_aligned=numbered, coords=coords,
-        f=float(plane.max()),
+        # (my, mx) IS the argmax of the plane — no second O(R*W) scan
+        f=float(plane[my, mx]),
     )

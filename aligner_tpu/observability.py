@@ -38,6 +38,10 @@ def configure_logging(level: str | None = None) -> None:
         level=getattr(logging, lvl),
         format="%(asctime)s %(levelname)s %(name)s %(message)s",
     )
+    # basicConfig is a no-op once ANY root handler exists (an embedding
+    # app configuring logging first would silently defeat ALIGNER_LOG);
+    # set the level explicitly so the contract holds either way
+    logging.getLogger().setLevel(getattr(logging, lvl))
 
 
 @dataclasses.dataclass

@@ -43,6 +43,11 @@ def initialize_from_env() -> None:
     """
     n = int(os.environ.get("ALIGNER_NUM_PROCESSES", "1"))
     if n <= 1:
+        if "ALIGNER_NUM_PROCESSES" in os.environ:
+            # an EXPLICIT =1 is an opt-out: auto-init on a pod-slice VM
+            # would detect the other workers and block waiting for
+            # processes the user deliberately did not launch
+            return
         if any(os.environ.get(v) for v in _CLOUD_TPU_MARKERS):
             try:
                 jax.distributed.initialize()
@@ -77,17 +82,48 @@ def shard_local_batch(mesh, axis: str, local_array: np.ndarray,
 
     Pass ``global_rows`` (the TOTAL batch size) whenever per-process
     spans can be uneven — :func:`process_span`'s ceil-div gives the
-    tail process fewer (possibly zero) rows, and without the explicit
-    global shape every process would infer a different global batch
-    from its own local share.
+    tail process fewer (possibly zero) rows.  Uneven totals are padded
+    HERE to a shard-aligned size (``jax.make_array_from_process_local_
+    data`` requires the global dim divisible by the mesh axis): every
+    process contributes an equal zero-padded block, so the returned
+    array's leading dim may exceed ``global_rows``.  Layout note for
+    consumers: process i's real rows [lo_i, hi_i) from
+    :func:`process_span` land at ``i*per_pad + (g - lo_i)`` with
+    ``per_pad = result_rows // process_count`` — per-process blocks
+    each padded at the END with zero rows (zero lengths: the
+    framework's free-problem convention).  With a divisible
+    ``global_rows`` no padding happens and the layout is the plain
+    contiguous batch.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..errors import ValidationError
+
     sharding = NamedSharding(mesh, P(axis))
-    global_shape = (
-        None if global_rows is None
-        else (global_rows, *local_array.shape[1:])
-    )
+    if global_rows is None:
+        return jax.make_array_from_process_local_data(sharding, local_array)
+    n = jax.process_count()
+    axis_n = mesh.shape[axis]
+    if axis_n % n:
+        raise ValidationError(
+            f"mesh axis {axis!r} ({axis_n} shards) does not divide over "
+            f"{n} processes — every process must own an equal shard span"
+        )
+    per = -(-global_rows // n)  # process_span's ceil-div share
+    per_pad = -(-per // (axis_n // n)) * (axis_n // n)  # shard-aligned
+    local_array = np.asarray(local_array)
+    pad = per_pad - local_array.shape[0]
+    if pad < 0:
+        raise ValidationError(
+            f"local batch has {local_array.shape[0]} rows but this "
+            f"process's share of {global_rows} is {per} (process_span)"
+        )
+    if pad:
+        local_array = np.concatenate([
+            local_array,
+            np.zeros((pad, *local_array.shape[1:]), local_array.dtype),
+        ])
+    global_shape = (per_pad * n, *local_array.shape[1:])
     return jax.make_array_from_process_local_data(
         sharding, local_array, global_shape=global_shape
     )

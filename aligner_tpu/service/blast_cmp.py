@@ -23,14 +23,23 @@ from .store import Store
 
 
 def load_blast_results(store: Store, csv_path: str) -> int:
+    from ..observability import log
+
     n = 0
     with open(csv_path, newline="") as fh:
-        for row in csv.reader(fh):
+        for i, row in enumerate(csv.reader(fh)):
             if len(row) < 3:
                 continue
-            store.insert_blast_result(
-                row[0], row[1], float(row[2].replace(",", "."))
-            )
+            try:
+                p = float(row[2].replace(",", "."))
+            except ValueError:
+                # header lines and malformed values must not abort the
+                # load mid-file: inserts already committed would
+                # duplicate on a rerun (blast_cmp has no unique key)
+                log.warning("%s row %d: unparsable p-value %r — skipped",
+                            csv_path, i + 1, row[2])
+                continue
+            store.insert_blast_result(row[0], row[1], p)
             n += 1
     return n
 

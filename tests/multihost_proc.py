@@ -61,6 +61,33 @@ def main() -> int:
         multihost_utils.process_allgather(fmax, tiled=True)
     )
 
+    # UNEVEN global batch (B=10 over the 4-shard data axis, 2 procs):
+    # shard_local_batch pads internally to a shard-aligned size; the
+    # real rows' scores must match the even-batch run's first 10
+    Bu = 10
+    lo_u, hi_u = multihost.process_span(Bu)
+    qg_u = multihost.shard_local_batch(mesh, "data", q[lo_u:hi_u], global_rows=Bu)
+    tg_u = multihost.shard_local_batch(mesh, "data", t[lo_u:hi_u], global_rows=Bu)
+    qlg_u = multihost.shard_local_batch(mesh, "data", ql[lo_u:hi_u], global_rows=Bu)
+    tlg_u = multihost.shard_local_batch(mesh, "data", tl[lo_u:hi_u], global_rows=Bu)
+    fmax_u, *_ = sharded_scores(
+        mesh, qg_u, qlg_u, tg_u, tlg_u, mat, 11.0, 2.0, mode="local",
+        engine="xla",
+    )
+    gathered_u = np.asarray(
+        multihost_utils.process_allgather(fmax_u, tiled=True)
+    )
+    assert gathered_u.shape[0] >= Bu
+    # padded layout: per-process blocks of per_pad rows, real rows first
+    per_pad = gathered_u.shape[0] // jax.process_count()
+    for i in range(jax.process_count()):
+        per = -(-Bu // jax.process_count())
+        pl, ph = min(i * per, Bu), min((i + 1) * per, Bu)
+        assert np.array_equal(
+            gathered_u[i * per_pad : i * per_pad + (ph - pl)],
+            gathered[pl:ph],
+        ), (i, gathered_u, gathered[:Bu])
+
     # cross-PROCESS wavefront: one global pair, columns sharded over the
     # 4 global devices (2 per process) — the boundary-halo ppermute hops
     # across the process boundary over the distributed runtime
